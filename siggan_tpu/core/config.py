@@ -1,0 +1,132 @@
+"""Unified configuration tree.
+
+The reference scatters configuration over four mechanisms (dataclasses,
+argparse, env vars, an unread YAML registry — see
+``/root/reference/src/train_vanilla_gan_signatures.py:39`` and SURVEY §5).
+Here a single dataclass tree is the source of truth: it serializes into every
+checkpoint and log as JSON, and every CLI builds one from flags.
+
+Defaults mirror the reference recipe
+(``train_vanilla_gan_signatures.py:63-91``): z=100, 64x64 grayscale, batch 64,
+200 epochs, Adam(2e-4, betas=(0.5, 0.999)), one-sided label smoothing 0.9,
+sample every 5 epochs / checkpoint every 10.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+
+def _asdict(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj):
+        return {f.name: _asdict(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+    return obj
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Generator/discriminator architecture knobs.
+
+    Parity: ``generator_vanilla_gan.py:97-163`` and
+    ``discriminator_vanilla_gan.py:111-207``.
+    """
+
+    latent_dim: int = 100
+    image_size: int = 64           # 64 or 128
+    image_channels: int = 1
+    base_features: int = 256       # generator stem width at 4x4
+    use_spectral_norm: bool = False
+    dropout: float = 0.25          # discriminator Dropout2d rate
+    leaky_slope: float = 0.2
+    # Generator activation for the ablation grid ("relu" | "leaky_relu"),
+    # mirroring ConfigurableGenerator (ablation_vanilla_gan_signatures.py:216).
+    g_activation: str = "relu"
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    g_lr: float = 2e-4
+    d_lr: float = 2e-4
+    beta1: float = 0.5
+    beta2: float = 0.999
+    gradient_clip_value: Optional[float] = None  # global-norm clip, None = off
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for data-parallel training over ICI.
+
+    The reference is single-device (SURVEY §2.2); DP over a 1-D ``data`` axis
+    is a first-class capability of this framework. ``model_axis`` is reserved
+    for future tensor sharding at 128/256px scale.
+    """
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    num_data: int = -1   # -1 = all visible devices
+    num_model: int = 1
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    batch_size: int = 64          # GLOBAL batch (sharded over the data axis)
+    epochs: int = 200
+    label_smoothing: float = 0.9
+    n_critic: int = 1
+    seed: int = 42
+
+    # Numerics: params kept in f32; matmul/conv compute in bf16 on TPU when
+    # enabled (MXU-native), losses and BN statistics always f32.
+    compute_dtype: str = "bfloat16"
+    # Use fused Pallas kernels for hot blocks where available.
+    use_pallas: bool = True
+
+    # Cadence (reference: sample_interval=5, checkpoint_interval=10).
+    sample_interval: int = 5
+    checkpoint_interval: int = 10
+    fixed_noise_samples: int = 64
+
+    # Mode-collapse detector (train_vanilla_gan_signatures.py:104-165).
+    mode_collapse_threshold: float = 0.1
+    mode_collapse_window: int = 50
+
+    # Paths.
+    data_dir: str = ""
+    checkpoint_dir: str = "./checkpoints"
+    sample_dir: str = "./samples"
+    log_dir: str = "./logs"
+
+    # Data pipeline.
+    augment: bool = True
+    hflip: bool = False
+    prefetch: int = 2
+
+    def to_dict(self) -> Dict[str, Any]:
+        return _asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "TrainConfig":
+        d = dict(d)
+        model = ModelConfig(**d.pop("model", {}))
+        optim = OptimConfig(**d.pop("optim", {}))
+        mesh = MeshConfig(**d.pop("mesh", {}))
+        known = {f.name for f in dataclasses.fields(cls)}
+        d = {k: v for k, v in d.items() if k in known}
+        return cls(model=model, optim=optim, mesh=mesh, **d)
+
+    @classmethod
+    def from_json(cls, s: str) -> "TrainConfig":
+        return cls.from_dict(json.loads(s))
+
+    def replace(self, **kw: Any) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)

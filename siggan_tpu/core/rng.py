@@ -1,0 +1,60 @@
+"""Explicit RNG key plumbing.
+
+The reference mutates three global RNG states (torch / torch.cuda / numpy,
+``utils/inference.py:163-167``). Here every source of randomness is a JAX key
+derived deterministically from (seed, stream-name, counter), so a training run
+is reproducible across restarts, device counts, and host layouts.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Stable stream tags (hashed into the key so independent streams never collide).
+STREAM_INIT_G = 0x47454E          # generator init
+STREAM_INIT_D = 0x444953          # discriminator init
+STREAM_NOISE = 0x4E4F49           # latent noise per step
+STREAM_DROPOUT = 0x44524F         # discriminator dropout per step
+STREAM_AUGMENT = 0x415547         # data augmentation per step
+STREAM_FIXED = 0x464958           # fixed evaluation noise
+STREAM_EVAL = 0x4556414C          # evaluation sampling
+
+
+def root_key(seed: int) -> jax.Array:
+    return jax.random.key(seed)
+
+
+def stream(key: jax.Array, tag: int) -> jax.Array:
+    """Derive an independent named stream from a root key."""
+    return jax.random.fold_in(key, tag)
+
+
+def at_step(key: jax.Array, step: jax.Array | int) -> jax.Array:
+    """Per-step key: fold the global step counter into a stream key.
+
+    Works under jit with a traced step (fold_in accepts traced ints), so the
+    train step carries no RNG state beyond the integer step counter.
+    """
+    return jax.random.fold_in(key, step)
+
+
+def split_tree(key: jax.Array, treedef) -> Tuple:
+    """Split a key into one leaf-key per pytree leaf."""
+    leaves = jax.random.split(key, treedef.num_leaves)
+    return jax.tree_util.tree_unflatten(treedef, list(leaves))
+
+
+def key_iter(seed: int, tag: int = 0) -> Iterator[jax.Array]:
+    """Host-side infinite key iterator (for non-jit consumers like data aug)."""
+    k = stream(root_key(seed), tag)
+    i = 0
+    while True:
+        yield jax.random.fold_in(k, i)
+        i += 1
+
+
+def normal(key: jax.Array, shape, dtype=jnp.float32, scale: float = 1.0) -> jax.Array:
+    return jax.random.normal(key, shape, dtype) * scale

@@ -1,0 +1,73 @@
+"""Train-state pytree.
+
+Everything the fused train step reads or writes is in this one pytree:
+generator/discriminator params, explicit BatchNorm and spectral-norm state,
+both optax optimizer states, and the step counter. RNG is *not* state — noise
+and dropout keys are derived per step from (seed, stream, step) in
+``siggan_tpu.core.rng`` so a resumed run replays the same randomness.
+
+Replaces the reference's mutable ``VanillaGAN`` nn.Module + two
+``optim.Adam`` objects (``vanilla_gan_model.py:28-129``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from siggan_tpu.core import rng as rnglib
+from siggan_tpu.core.config import TrainConfig
+from siggan_tpu.models import discriminator, generator
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array                 # global optimizer-step counter (int32)
+    g_params: Any
+    g_bn: Any                       # generator BatchNorm running stats
+    d_params: Any
+    d_state: Any                    # spectral-norm power-iteration vectors
+    g_opt: Any
+    d_opt: Any
+
+
+def make_optimizers(cfg: TrainConfig):
+    """Adam(lr, (beta1, beta2)) with optional global-norm clipping, matching
+    ``vanilla_gan_model.py:110-120`` + ``train_vanilla_gan_signatures.py:262``
+    (torch clips grads before the Adam update; optax.chain does the same)."""
+    def chain(lr):
+        tx = [optax.clip_by_global_norm(cfg.optim.gradient_clip_value)] \
+            if cfg.optim.gradient_clip_value else []
+        tx.append(optax.adam(lr, b1=cfg.optim.beta1, b2=cfg.optim.beta2, eps=1e-8))
+        return optax.chain(*tx)
+    return chain(cfg.optim.g_lr), chain(cfg.optim.d_lr)
+
+
+def create_train_state(cfg: TrainConfig) -> TrainState:
+    root = rnglib.root_key(cfg.seed)
+    g_params, g_bn = generator.init_fn(rnglib.stream(root, rnglib.STREAM_INIT_G), cfg.model)
+    d_params, d_state = discriminator.init_fn(rnglib.stream(root, rnglib.STREAM_INIT_D), cfg.model)
+    g_tx, d_tx = make_optimizers(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params,
+        g_bn=g_bn,
+        d_params=d_params,
+        d_state=d_state,
+        g_opt=g_tx.init(g_params),
+        d_opt=d_tx.init(d_params),
+    )
+
+
+def state_summary(state: TrainState, cfg: TrainConfig) -> Dict[str, Any]:
+    return {
+        "step": int(state.step),
+        "g_params": generator.param_count(state.g_params),
+        "d_params": discriminator.param_count(state.d_params),
+        "image_size": cfg.model.image_size,
+        "latent_dim": cfg.model.latent_dim,
+    }

@@ -1,0 +1,110 @@
+"""DCGAN-style signature discriminator as a pure function over pytrees.
+
+Architecture parity with ``discriminator_vanilla_gan.py:18-239`` (verified
+against torch-CPU in ``tests/test_torch_parity.py``):
+
+  x (N, H, W, C) in [-1, 1]
+   -> k x DownsampleBlock: Conv(4,2,1, bias) [+spectral_norm]
+        + LeakyReLU(0.2) + Dropout2d(0.25)   (NO BatchNorm by default,
+                                              matching the reference default)
+        64px:  1->64->128->256->512          (4 blocks, 64x64 -> 4x4)
+        128px: 1->64->128->256->512->512     (5 blocks)
+   -> flatten -> Linear(512*4*4, 1) [+spectral_norm]
+
+The reference appends Sigmoid and feeds BCELoss; we return LOGITS and use
+``sigmoid_binary_cross_entropy`` in the train step — identical math, stable
+numerics, one fused XLA epilogue. ``apply_fn(..., features=True)`` exposes the
+pre-classifier feature map (``forward_features:262``, the feature-matching
+hook). Spectral-norm power-iteration vectors live in the explicit ``state``
+pytree. ~2.76M params at 64px, matching the reference count.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from siggan_tpu.core.config import ModelConfig
+from siggan_tpu.ops import initializers as init
+from siggan_tpu.ops.conv import conv2d, linear
+from siggan_tpu.ops.regularizers import dropout2d, sn_init, spectral_norm
+
+Params = Dict
+State = Dict
+
+
+def channel_schedule(cfg: ModelConfig) -> List[Tuple[int, int]]:
+    if cfg.image_size == 64:
+        return [(cfg.image_channels, 64), (64, 128), (128, 256), (256, 512)]
+    if cfg.image_size == 128:
+        return [(cfg.image_channels, 64), (64, 128), (128, 256), (256, 512), (512, 512)]
+    raise ValueError(f"input_size must be 64 or 128, got {cfg.image_size}")
+
+
+def init_fn(key: jax.Array, cfg: ModelConfig) -> Tuple[Params, State]:
+    blocks = channel_schedule(cfg)
+    final_features = 512 * 4 * 4
+    keys = jax.random.split(key, len(blocks) + 1)
+    params: Params = {"blocks": [], "fc": {
+        "w": init.linear_w(keys[-1], (final_features, 1)),
+        "b": init.zeros((1,)),
+    }}
+    state: State = {"blocks": [], "fc": {}}
+    for i, (cin, cout) in enumerate(blocks):
+        params["blocks"].append({
+            "w": init.conv_w(keys[i], (4, 4, cin, cout)),
+            "b": init.zeros((cout,)),
+        })
+        state["blocks"].append(sn_init(cout) if cfg.use_spectral_norm else {})
+    if cfg.use_spectral_norm:
+        state["fc"] = sn_init(1)
+    return params, state
+
+
+def apply_fn(
+    params: Params,
+    state: State,
+    x: jax.Array,
+    cfg: ModelConfig,
+    *,
+    train: bool,
+    rng: jax.Array | None = None,
+    compute_dtype=None,
+    features: bool = False,
+) -> Tuple[jax.Array, State]:
+    """x: (N,H,W,C) -> logits (N, 1) (or flattened features if features=True).
+
+    ``rng`` is required when ``train=True`` and dropout > 0.
+    """
+    if train and cfg.dropout > 0 and rng is None:
+        raise ValueError("training discriminator forward requires a dropout rng")
+    blocks = channel_schedule(cfg)
+    new_state: State = {"blocks": [], "fc": state["fc"]}
+    h = x
+    for i in range(len(blocks)):
+        p = params["blocks"][i]
+        w = p["w"]
+        if cfg.use_spectral_norm:
+            w, bs = spectral_norm(w, state["blocks"][i], train=train)
+        else:
+            bs = state["blocks"][i]
+        new_state["blocks"].append(bs)
+        h = conv2d(h, w, p["b"], stride=2, padding=1, compute_dtype=compute_dtype)
+        h = jax.nn.leaky_relu(h, cfg.leaky_slope)
+        if train and cfg.dropout > 0:
+            rng, sub = jax.random.split(rng)
+            h = dropout2d(h, cfg.dropout, sub, train=True)
+    flat = jnp.reshape(h, (h.shape[0], -1))
+    if features:
+        return flat, new_state
+    w = params["fc"]["w"]
+    if cfg.use_spectral_norm:
+        w, new_state["fc"] = spectral_norm(w, state["fc"], train=train)
+    logits = linear(flat, w, params["fc"]["b"], compute_dtype=compute_dtype)
+    return logits.astype(jnp.float32), new_state
+
+
+def param_count(params: Params) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,128 @@
+"""DCGAN-style signature generator as a pure function over pytrees.
+
+Architecture parity with ``generator_vanilla_gan.py:69-163`` (verified
+numerically against torch-CPU in ``tests/test_torch_parity.py``):
+
+  z (N, latent)
+   -> Linear(latent, 4*4*C0) + bias        (fc, C0=256 @64px / 512 @128px)
+   -> BatchNorm1d + ReLU
+   -> reshape (N, 4, 4, C0)                (NHWC — TPU-native; torch is NCHW)
+   -> k x UpsampleBlock: ConvT(4,2,1, no bias) + BN + ReLU
+        64px:  256->128->64->32->32        (4 blocks, 4x4 -> 64x64)
+        128px: 512->256->128->64->32->32   (5 blocks, 4x4 -> 128x128)
+   -> Conv(3,1,1) + bias + tanh            (final, 32 -> image_channels)
+
+Init: DCGAN N(0, 0.02) everywhere (``generator_vanilla_gan.py:168-187``).
+The ablation variant's LeakyReLU block activation
+(``ablation_vanilla_gan_signatures.py:159-216`` ConfigurableGenerator) is the
+``g_activation`` config knob rather than a second model class.
+
+~1.13M params at 64px, matching the reference count.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from siggan_tpu.core.config import ModelConfig
+from siggan_tpu.ops import initializers as init
+from siggan_tpu.ops.conv import conv2d, conv_transpose2d, linear
+from siggan_tpu.ops.norm import batch_norm, init_state as bn_init
+
+Params = Dict
+State = Dict
+
+
+def channel_schedule(cfg: ModelConfig) -> Tuple[int, List[Tuple[int, int]]]:
+    """(init_channels_at_4x4, [(in_ch, out_ch) per upsample block])."""
+    if cfg.image_size == 64:
+        c0 = cfg.base_features
+        blocks = [(c0, c0 // 2), (c0 // 2, c0 // 4), (c0 // 4, c0 // 8), (c0 // 8, c0 // 8)]
+    elif cfg.image_size == 128:
+        c0 = cfg.base_features * 2
+        blocks = [
+            (c0, c0 // 2), (c0 // 2, c0 // 4), (c0 // 4, c0 // 8),
+            (c0 // 8, c0 // 16), (c0 // 16, c0 // 16),
+        ]
+    else:
+        raise ValueError(f"image_size must be 64 or 128, got {cfg.image_size}")
+    return c0, blocks
+
+
+def init_fn(key: jax.Array, cfg: ModelConfig) -> Tuple[Params, State]:
+    c0, blocks = channel_schedule(cfg)
+    n_fc = c0 * 4 * 4
+    keys = jax.random.split(key, 3 + 2 * len(blocks))
+    params: Params = {
+        "fc": {
+            "w": init.linear_w(keys[0], (cfg.latent_dim, n_fc)),
+            "b": init.zeros((n_fc,)),
+        },
+        "fc_bn": {"scale": init.bn_scale(keys[1], n_fc), "offset": init.bn_offset(n_fc)},
+        "blocks": [],
+        "final": {
+            "w": init.conv_w(keys[2], (3, 3, blocks[-1][1], cfg.image_channels)),
+            "b": init.zeros((cfg.image_channels,)),
+        },
+    }
+    state: State = {"fc_bn": bn_init(n_fc), "blocks": []}
+    for i, (cin, cout) in enumerate(blocks):
+        kw, kb = keys[3 + 2 * i], keys[4 + 2 * i]
+        params["blocks"].append({
+            "w": init.conv_w(kw, (4, 4, cin, cout)),  # no bias: BN follows
+            "bn": {"scale": init.bn_scale(kb, cout), "offset": init.bn_offset(cout)},
+        })
+        state["blocks"].append(bn_init(cout))
+    return params, state
+
+
+def _act(x: jax.Array, cfg: ModelConfig) -> jax.Array:
+    if cfg.g_activation == "leaky_relu":
+        return jax.nn.leaky_relu(x, cfg.leaky_slope)
+    return jax.nn.relu(x)
+
+
+def apply_fn(
+    params: Params,
+    state: State,
+    z: jax.Array,
+    cfg: ModelConfig,
+    *,
+    train: bool,
+    compute_dtype=None,
+) -> Tuple[jax.Array, State]:
+    """z: (N, latent_dim) -> image (N, H, W, C) in [-1, 1]; returns new BN state."""
+    c0, blocks = channel_schedule(cfg)
+    new_state: State = {"blocks": []}
+
+    h = linear(z, params["fc"]["w"], params["fc"]["b"], compute_dtype=compute_dtype)
+    h, new_state["fc_bn"] = batch_norm(
+        h, params["fc_bn"]["scale"], params["fc_bn"]["offset"], state["fc_bn"], train=train
+    )
+    h = _act(h, cfg)
+    h = jnp.reshape(h, (h.shape[0], 4, 4, c0))
+
+    for i in range(len(blocks)):
+        p = params["blocks"][i]
+        h = conv_transpose2d(h, p["w"], stride=2, padding=1, compute_dtype=compute_dtype)
+        h, bs = batch_norm(
+            h, p["bn"]["scale"], p["bn"]["offset"], state["blocks"][i], train=train
+        )
+        new_state["blocks"].append(bs)
+        h = _act(h, cfg)
+
+    img = conv2d(h, params["final"]["w"], params["final"]["b"],
+                 stride=1, padding=1, compute_dtype=compute_dtype)
+    return jnp.tanh(img.astype(jnp.float32)), new_state
+
+
+def generate_latent(key: jax.Array, n: int, cfg: ModelConfig, scale: float = 1.0) -> jax.Array:
+    """z ~ N(0, scale^2 I) — the reference's noise_scale knob (inference.py:179)."""
+    return jax.random.normal(key, (n, cfg.latent_dim), jnp.float32) * scale
+
+
+def param_count(params: Params) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))

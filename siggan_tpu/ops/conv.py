@@ -1,0 +1,122 @@
+"""Convolution primitives, NHWC/HWIO layout, MXU-friendly.
+
+These are thin, explicit wrappers over ``lax.conv_general_dilated`` so every
+model in the framework shares one conv implementation (and one place to swap
+in Pallas kernels). All activations are NHWC and all kernels HWIO — the
+layouts XLA:TPU tiles best.
+
+Mixed precision: with ``compute_dtype=None`` (f32 inputs) we request f32
+accumulation explicitly. With ``compute_dtype=bfloat16`` the op runs and
+returns bf16 — the MXU still accumulates partial products in f32 internally
+and rounds once on output, and requesting an f32 *output* from bf16 operands
+breaks the conv VJP (the transpose rule would see a bf16 operand with an f32
+cotangent). BatchNorm re-normalizes in f32 right after each conv, and losses
+are always f32, so the single bf16 rounding per conv is benign.
+
+Semantics parity notes (checked numerically against torch-CPU in
+``tests/test_torch_parity.py``):
+ - ``conv2d(stride=s, padding=p)`` == ``torch.nn.Conv2d(k, s, p)``.
+ - ``conv_transpose2d(stride=s, padding=p)`` == ``torch.nn.ConvTranspose2d``:
+   expressed as an input-dilated *forward* convolution (lhs_dilation=s,
+   per-side pad k-1-p) with a spatially-flipped kernel. On TPU this lowers to
+   plain convs that XLA can tile onto the MXU — transposed-conv-as-such does
+   not exist in the HLO.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC"))
+
+
+def _pair(v) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    *,
+    stride: int | Tuple[int, int] = 1,
+    padding: int | Tuple[int, int] = 0,
+    compute_dtype=None,
+) -> jax.Array:
+    """Standard 2-D convolution. x: (N,H,W,Ci), w: (kh,kw,Ci,Co)."""
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    acc = jnp.float32 if compute_dtype is None else jnp.dtype(compute_dtype)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(
+        x, w,
+        window_strides=(sh, sw),
+        padding=((ph, ph), (pw, pw)),
+        dimension_numbers=dn,
+        preferred_element_type=acc,
+    )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def conv_transpose2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    *,
+    stride: int | Tuple[int, int] = 2,
+    padding: int | Tuple[int, int] = 1,
+    compute_dtype=None,
+) -> jax.Array:
+    """Transposed convolution with PyTorch ConvTranspose2d semantics.
+
+    x: (N,H,W,Ci); w: (kh,kw,Ci,Co) stored UNFLIPPED in our convention — the
+    spatial flip that makes input-dilated conv equal torch's ConvT is applied
+    here, once, inside the op. Output spatial size = H*s for k=4,s=2,p=1.
+    """
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    kh, kw = w.shape[0], w.shape[1]
+    acc = jnp.float32 if compute_dtype is None else jnp.dtype(compute_dtype)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    w_flip = w[::-1, ::-1, :, :]
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(
+        x, w_flip,
+        window_strides=(1, 1),
+        padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
+        lhs_dilation=(sh, sw),
+        dimension_numbers=dn,
+        preferred_element_type=acc,
+    )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def linear(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    *,
+    compute_dtype=None,
+) -> jax.Array:
+    """x: (N, Fin), w: (Fin, Fout)."""
+    acc = jnp.float32 if compute_dtype is None else jnp.dtype(compute_dtype)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = jnp.dot(x, w, preferred_element_type=acc)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y

@@ -1,0 +1,68 @@
+"""Functional BatchNorm with explicit, cross-replica-correct state.
+
+The one piece of mutable state in the reference models is BatchNorm
+(``generator_vanilla_gan.py:58,126``). Here BN state is an explicit pytree
+carried through the train step. Because training runs under jit with the
+batch dimension sharded over the ``data`` mesh axis, the ``jnp.mean`` below is
+a *global* batch reduction — GSPMD inserts the ICI all-reduce — so multi-chip
+training reproduces the reference's single-device global-batch BN semantics
+exactly (SURVEY §7 "hard part #2": we choose synced BN, documented here).
+
+Torch-semantics parity (momentum 0.1, eps 1e-5, biased variance for
+normalization, *unbiased* variance into the running estimate) is verified in
+``tests/test_torch_parity.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-5
+MOMENTUM = 0.1
+
+
+def init_state(num_features: int) -> Dict[str, jax.Array]:
+    return {
+        "mean": jnp.zeros((num_features,), jnp.float32),
+        "var": jnp.ones((num_features,), jnp.float32),
+    }
+
+
+def batch_norm(
+    x: jax.Array,
+    scale: jax.Array,
+    offset: jax.Array,
+    state: Dict[str, jax.Array],
+    *,
+    train: bool,
+    eps: float = EPS,
+    momentum: float = MOMENTUM,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Normalize over all axes except the last (channel) axis.
+
+    Works for both NHWC activations (reduces N,H,W) and (N,F) dense
+    activations (reduces N) — i.e. BatchNorm2d and BatchNorm1d.
+    Statistics are computed in f32 regardless of input dtype.
+    """
+    reduce_axes = tuple(range(x.ndim - 1))
+    xf = x.astype(jnp.float32)
+    if train:
+        mean = jnp.mean(xf, axis=reduce_axes)
+        var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
+        n = 1
+        for a in reduce_axes:
+            n *= x.shape[a]
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    inv = jax.lax.rsqrt(var + eps)
+    y = (xf - mean) * (inv * scale.astype(jnp.float32)) + offset.astype(jnp.float32)
+    return y.astype(x.dtype), new_state

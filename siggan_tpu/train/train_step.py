@@ -1,0 +1,170 @@
+"""The fused adversarial train step.
+
+One jitted function performs what the reference spreads over
+``VanillaGAN.train_discriminator_step`` (``vanilla_gan_model.py:180``),
+``train_generator_step`` (``:254``) and ``GANTrainer._train_*``
+(``train_vanilla_gan_signatures.py:262-376``): n_critic discriminator updates
+followed by one generator update, all inside a single XLA program so the
+G-forward/D-forward/backward/Adam chain fuses and the batch never leaves HBM.
+
+Faithful semantic details (each checked against the reference):
+ - one-sided label smoothing: real labels = 0.9, fake = 0.0, G targets = 1.0
+   (``vanilla_gan_model.py:152-178``);
+ - D loss = mean BCE(real) + mean BCE(fake), summed (``:231``);
+ - non-saturating G loss (``:288``);
+ - fresh noise for every D step and for the G step;
+ - G runs in train mode during the D step (under stop_gradient), so its
+   BatchNorm running stats update there too — exactly what torch's
+   ``no_grad`` forward does in the reference (``:314-315``);
+ - D's dropout and spectral-norm power iteration are active in both the D and
+   G steps (torch modules stay in train mode for both);
+ - metrics: d_real_mean / d_fake_mean / per-side accuracy at threshold 0.5
+   (``:236-249``).
+
+Numerics: BCE is computed from logits (the reference's Sigmoid+BCELoss is
+mathematically identical but unstable); convs run in ``cfg.compute_dtype``
+(bf16 on TPU) with f32 accumulation, losses/stats in f32.
+
+Data parallelism: jit this with the batch sharded over the mesh ``data`` axis
+and the state replicated — batch-mean losses and BatchNorm statistics become
+global reductions and GSPMD emits the ICI all-reduces; no pmap/psum
+boilerplate, and the single-device semantics are preserved exactly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from siggan_tpu.core import rng as rnglib
+from siggan_tpu.core.config import TrainConfig
+from siggan_tpu.core.state import TrainState, make_optimizers
+from siggan_tpu.models import discriminator, generator
+
+Metrics = Dict[str, jax.Array]
+
+
+def _bce_mean(logits: jax.Array, label: float) -> jax.Array:
+    labels = jnp.full_like(logits, label)
+    return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, labels))
+
+
+def _dtype(cfg: TrainConfig):
+    return jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
+
+
+def d_step(
+    state: TrainState, real: jax.Array, noise_key: jax.Array,
+    drop_key: jax.Array, cfg: TrainConfig, d_tx,
+) -> Tuple[TrainState, Metrics]:
+    """One discriminator update on a real batch + freshly generated fakes."""
+    cdt = _dtype(cfg)
+    z = generator.generate_latent(noise_key, real.shape[0], cfg.model)
+    fake, g_bn = generator.apply_fn(
+        state.g_params, state.g_bn, z, cfg.model, train=True, compute_dtype=cdt)
+    fake = jax.lax.stop_gradient(fake)
+    k_real, k_fake = jax.random.split(drop_key)
+
+    def loss_fn(d_params):
+        logits_r, d_state = discriminator.apply_fn(
+            d_params, state.d_state, real, cfg.model,
+            train=True, rng=k_real, compute_dtype=cdt)
+        logits_f, d_state = discriminator.apply_fn(
+            d_params, d_state, fake, cfg.model,
+            train=True, rng=k_fake, compute_dtype=cdt)
+        loss = _bce_mean(logits_r, cfg.label_smoothing) + _bce_mean(logits_f, 0.0)
+        return loss, (d_state, logits_r, logits_f)
+
+    (loss, (d_state, logits_r, logits_f)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.d_params)
+    updates, d_opt = d_tx.update(grads, state.d_opt, state.d_params)
+    d_params = optax.apply_updates(state.d_params, updates)
+
+    p_real, p_fake = jax.nn.sigmoid(logits_r), jax.nn.sigmoid(logits_f)
+    metrics = {
+        "d_loss": loss,
+        "d_real_mean": jnp.mean(p_real),
+        "d_fake_mean": jnp.mean(p_fake),
+        "d_acc_real": jnp.mean((p_real > 0.5).astype(jnp.float32)),
+        "d_acc_fake": jnp.mean((p_fake < 0.5).astype(jnp.float32)),
+        "d_grad_norm": optax.global_norm(grads),
+    }
+    metrics["d_accuracy"] = 0.5 * (metrics["d_acc_real"] + metrics["d_acc_fake"])
+    new_state = state.replace(
+        g_bn=g_bn, d_params=d_params, d_state=d_state, d_opt=d_opt)
+    return new_state, metrics
+
+
+def g_step(
+    state: TrainState, batch_size: int, noise_key: jax.Array,
+    drop_key: jax.Array, cfg: TrainConfig, g_tx,
+) -> Tuple[TrainState, Metrics]:
+    """One generator update (non-saturating loss through a train-mode D)."""
+    cdt = _dtype(cfg)
+    z = generator.generate_latent(noise_key, batch_size, cfg.model)
+
+    def loss_fn(g_params):
+        fake, g_bn = generator.apply_fn(
+            g_params, state.g_bn, z, cfg.model, train=True, compute_dtype=cdt)
+        logits, d_state = discriminator.apply_fn(
+            state.d_params, state.d_state, fake, cfg.model,
+            train=True, rng=drop_key, compute_dtype=cdt)
+        return _bce_mean(logits, 1.0), (g_bn, d_state, logits)
+
+    (loss, (g_bn, d_state, logits)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.g_params)
+    updates, g_opt = g_tx.update(grads, state.g_opt, state.g_params)
+    g_params = optax.apply_updates(state.g_params, updates)
+
+    metrics = {
+        "g_loss": loss,
+        "d_on_g_mean": jnp.mean(jax.nn.sigmoid(logits)),
+        "g_grad_norm": optax.global_norm(grads),
+    }
+    new_state = state.replace(
+        g_params=g_params, g_bn=g_bn, d_state=d_state, g_opt=g_opt)
+    return new_state, metrics
+
+
+def make_train_step(cfg: TrainConfig):
+    """Build the fused (n_critic x D) + G step.
+
+    Returned fn: ``(state, real_batch) -> (state, metrics)``; jit it with the
+    batch sharded on the data axis. RNG derives from (cfg.seed, stream, step)
+    — no key threading through the caller.
+    """
+    g_tx, d_tx = make_optimizers(cfg)
+    root = rnglib.root_key(cfg.seed)
+    noise_stream = rnglib.stream(root, rnglib.STREAM_NOISE)
+    drop_stream = rnglib.stream(root, rnglib.STREAM_DROPOUT)
+
+    def train_step(state: TrainState, real: jax.Array) -> Tuple[TrainState, Metrics]:
+        nk = rnglib.at_step(noise_stream, state.step)
+        dk = rnglib.at_step(drop_stream, state.step)
+        nkeys = jax.random.split(nk, cfg.n_critic + 1)
+        dkeys = jax.random.split(dk, cfg.n_critic + 1)
+
+        metrics: Metrics = {}
+        for i in range(cfg.n_critic):  # static unroll; n_critic is tiny
+            state, metrics = d_step(state, real, nkeys[i], dkeys[i], cfg, d_tx)
+        state, g_metrics = g_step(
+            state, real.shape[0], nkeys[-1], dkeys[-1], cfg, g_tx)
+        metrics.update(g_metrics)
+        state = state.replace(step=state.step + 1)
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_generate(cfg: TrainConfig):
+    """Jittable inference-mode generation: (state, z) -> images in [-1,1]."""
+    def generate(state: TrainState, z: jax.Array) -> jax.Array:
+        img, _ = generator.apply_fn(
+            state.g_params, state.g_bn, z, cfg.model,
+            train=False, compute_dtype=_dtype(cfg))
+        return img
+    return generate

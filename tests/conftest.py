@@ -1,0 +1,45 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip hardware is not needed: ``xla_force_host_platform_device_count=8``
+gives 8 fake CPU devices, enough to exercise every sharding/collective path
+(SURVEY §4's designed test strategy). Must run before jax initializes.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# The environment's axon TPU wrapper overrides JAX_PLATFORMS from the shell;
+# config.update is authoritative (must run before first backend init).
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def devices():
+    devs = jax.devices()
+    assert len(devs) == 8, f"expected 8 virtual devices, got {devs}"
+    return devs
+
+
+@pytest.fixture(scope="session")
+def tiny_model_cfg():
+    """A miniature model config so CPU tests stay fast."""
+    from siggan_tpu.core.config import ModelConfig
+    return ModelConfig(latent_dim=16, image_size=64, base_features=32)
+
+
+@pytest.fixture(scope="session")
+def tiny_train_cfg(tiny_model_cfg):
+    from siggan_tpu.core.config import TrainConfig
+    return TrainConfig(model=tiny_model_cfg, batch_size=16, epochs=1,
+                       compute_dtype="float32", seed=0)
