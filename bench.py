@@ -31,32 +31,35 @@ def main() -> None:
 
     from siggan_tpu.core.config import TrainConfig
     from siggan_tpu.core.state import create_train_state
-    from siggan_tpu.train.train_step import make_train_step
+    from siggan_tpu.train.train_step import make_resident_train_step
 
-    cfg = TrainConfig()  # reference recipe
+    cfg = TrainConfig()  # reference recipe, incl. device-side augmentation
     state = create_train_state(cfg)
 
     import numpy as np
 
     rs = np.random.RandomState(0)
-    batch = jax.numpy.asarray(
-        (rs.rand(cfg.batch_size, cfg.model.image_size, cfg.model.image_size,
+    # HBM-resident dataset, as the trainer runs it: batch selection, shuffle,
+    # and augmentation all happen inside the fused step (full-pipeline number).
+    images = jax.numpy.asarray(
+        (rs.rand(2048, cfg.model.image_size, cfg.model.image_size,
                  cfg.model.image_channels) * 2 - 1).astype(np.float32))
 
-    step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+    step_fn, _ = make_resident_train_step(cfg, images.shape[0])
+    step = jax.jit(step_fn, donate_argnums=(0,))
 
     # Compile + warmup.
-    state, metrics = step(state, batch)
+    state, metrics = step(state, images)
     jax.block_until_ready(metrics)
     for _ in range(5):
-        state, metrics = step(state, batch)
+        state, metrics = step(state, images)
     jax.block_until_ready(metrics)
 
     # Timed region.
     n_iters = 200
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        state, metrics = step(state, batch)
+        state, metrics = step(state, images)
     jax.block_until_ready(metrics)
     dt = time.perf_counter() - t0
 

@@ -1,0 +1,168 @@
+"""Checkpoint manager: Orbax pytrees + JSON config sidecar.
+
+Reference parity (``train_vanilla_gan_signatures.py:402-484`` and
+``vanilla_gan_model.py:433-560``):
+ - per-interval epoch checkpoints, plus "latest" and "best" (lowest G loss);
+ - a checkpoint carries epoch, global step, G/D params + explicit BN/SN
+   state, both optimizer states, the FIXED NOISE tensor (so progress grids
+   stay comparable across resumes), and best_g_loss;
+ - a human-readable config JSON sidecar; the full TrainConfig also rides in
+   the sidecar so ``restore`` can rebuild the model with zero extra input
+   (the reference's ``from_checkpoint:520``);
+ - architecture inference from bare parameter trees for foreign checkpoints
+   (``utils/inference.py:20-55``) lives in ``infer_architecture``.
+
+Layout: one Orbax directory per saved epoch (``epoch_NNNN``) plus an
+``index.json`` mapping the ``latest``/``best`` aliases to epochs — aliases
+are metadata, not duplicate copies of multi-MB pytrees.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+from siggan_tpu.core.config import TrainConfig
+from siggan_tpu.core.state import TrainState, create_train_state
+
+INDEX = "index.json"
+SIDECAR = "config.json"
+
+
+def _to_save_tree(state: TrainState, *, epoch: int, fixed_noise: jax.Array,
+                  best_g_loss: float) -> Dict[str, Any]:
+    return {
+        "step": state.step,
+        "epoch": jnp.asarray(epoch, jnp.int32),
+        "g_params": state.g_params,
+        "g_bn": state.g_bn,
+        "d_params": state.d_params,
+        "d_state": state.d_state,
+        "g_opt": state.g_opt,
+        "d_opt": state.d_opt,
+        "fixed_noise": fixed_noise,
+        "best_g_loss": jnp.asarray(best_g_loss, jnp.float32),
+    }
+
+
+class CheckpointManager:
+    def __init__(self, directory: str | Path, cfg: TrainConfig):
+        self.dir = Path(directory).absolute()
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.cfg = cfg
+        self._ckptr = ocp.PyTreeCheckpointer()
+        sidecar = self.dir / SIDECAR
+        if not sidecar.exists():
+            sidecar.write_text(cfg.to_json())
+
+    # -- index ---------------------------------------------------------
+    def _read_index(self) -> Dict[str, Any]:
+        p = self.dir / INDEX
+        return json.loads(p.read_text()) if p.exists() else {"epochs": []}
+
+    def _write_index(self, idx: Dict[str, Any]) -> None:
+        (self.dir / INDEX).write_text(json.dumps(idx, indent=2))
+
+    def _epoch_dir(self, epoch: int) -> Path:
+        return self.dir / f"epoch_{epoch:04d}"
+
+    # -- save / restore --------------------------------------------------
+    def save(self, state: TrainState, *, epoch: int, fixed_noise: jax.Array,
+             g_loss: Optional[float] = None) -> Path:
+        """Save a checkpoint; updates latest and (if g_loss improves) best."""
+        idx = self._read_index()
+        best = idx.get("best_g_loss")
+        is_best = g_loss is not None and (best is None or g_loss < best)
+        tree = _to_save_tree(
+            state, epoch=epoch, fixed_noise=fixed_noise,
+            best_g_loss=float(g_loss if is_best else (best if best is not None else np.inf)))
+        path = self._epoch_dir(epoch)
+        if path.exists():
+            shutil.rmtree(path)
+        self._ckptr.save(path, jax.device_get(tree))
+        if epoch not in idx["epochs"]:
+            idx["epochs"].append(epoch)
+        idx["latest"] = epoch
+        if is_best:
+            idx["best"] = epoch
+            idx["best_g_loss"] = float(g_loss)
+        self._write_index(idx)
+        return path
+
+    def available(self) -> Dict[str, Any]:
+        return self._read_index()
+
+    def resolve(self, which: str | int = "latest") -> Optional[Path]:
+        idx = self._read_index()
+        if isinstance(which, int):
+            epoch = which
+        else:
+            epoch = idx.get(which)
+        if epoch is None or epoch not in idx.get("epochs", []):
+            return None
+        return self._epoch_dir(epoch)
+
+    def restore(self, which: str | int = "latest",
+                ) -> Optional[Tuple[TrainState, Dict[str, Any]]]:
+        """Restore (TrainState, extras) where extras has epoch / fixed_noise /
+        best_g_loss. Returns None when nothing is saved."""
+        path = self.resolve(which)
+        if path is None:
+            return None
+        target = _to_save_tree(
+            create_train_state(self.cfg), epoch=0,
+            fixed_noise=jnp.zeros((self.cfg.fixed_noise_samples,
+                                   self.cfg.model.latent_dim), jnp.float32),
+            best_g_loss=float("inf"))
+        tree = self._ckptr.restore(path, item=jax.device_get(target))
+        state = TrainState(
+            step=jnp.asarray(tree["step"]),
+            g_params=tree["g_params"], g_bn=tree["g_bn"],
+            d_params=tree["d_params"], d_state=tree["d_state"],
+            g_opt=tree["g_opt"], d_opt=tree["d_opt"])
+        extras = {
+            "epoch": int(tree["epoch"]),
+            "fixed_noise": jnp.asarray(tree["fixed_noise"]),
+            "best_g_loss": float(tree["best_g_loss"]),
+        }
+        return state, extras
+
+    @classmethod
+    def load_config(cls, directory: str | Path) -> TrainConfig:
+        return TrainConfig.from_json((Path(directory) / SIDECAR).read_text())
+
+
+def load_generator(directory: str | Path, which: str | int = "latest"):
+    """Unified generator loader for inference/eval/serving.
+
+    The reference triplicates this logic (``utils/inference.py:57``,
+    ``api_vanilla_gan_signatures.py:77``, ``evaluate…py:44``); here it is the
+    one entry point. Returns (g_params, g_bn, TrainConfig).
+    """
+    cfg = CheckpointManager.load_config(directory)
+    mgr = CheckpointManager(directory, cfg)
+    out = mgr.restore(which)
+    if out is None:
+        raise FileNotFoundError(f"no checkpoint under {directory} ({which})")
+    state, _ = out
+    return state.g_params, state.g_bn, cfg
+
+
+def infer_architecture(g_params) -> Dict[str, int]:
+    """Infer (latent_dim, image_size, base_features) from a bare generator
+    param tree — parity with ``utils/inference.py:20-55`` which infers
+    architecture from state-dict shapes."""
+    latent_dim, n_fc = g_params["fc"]["w"].shape
+    c0 = n_fc // 16
+    n_blocks = len(g_params["blocks"])
+    image_size = 4 * (2 ** n_blocks)
+    base_features = c0 if image_size == 64 else c0 // 2
+    return {"latent_dim": int(latent_dim), "image_size": int(image_size),
+            "base_features": int(base_features)}

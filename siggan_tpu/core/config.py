@@ -103,10 +103,14 @@ class TrainConfig:
     sample_dir: str = "./samples"
     log_dir: str = "./logs"
 
-    # Data pipeline.
+    # Data pipeline. resident_data keeps the whole dataset in HBM and selects
+    # batches on device (zero per-step H2D); falls back to the streaming
+    # loader automatically when the dataset exceeds resident_max_mb.
     augment: bool = True
     hflip: bool = False
     prefetch: int = 2
+    resident_data: bool = True
+    resident_max_mb: int = 4096
 
     def to_dict(self) -> Dict[str, Any]:
         return _asdict(self)

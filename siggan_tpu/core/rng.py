@@ -21,6 +21,7 @@ STREAM_DROPOUT = 0x44524F         # discriminator dropout per step
 STREAM_AUGMENT = 0x415547         # data augmentation per step
 STREAM_FIXED = 0x464958           # fixed evaluation noise
 STREAM_EVAL = 0x4556414C          # evaluation sampling
+STREAM_DATA = 0x44415441          # per-epoch shuffle of the resident dataset
 
 
 def root_key(seed: int) -> jax.Array:

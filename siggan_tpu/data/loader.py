@@ -1,0 +1,76 @@
+"""Batch iteration with asynchronous device prefetch.
+
+Replaces torch's multi-process DataLoader (``data_loader_signatures.py:249``)
+with the TPU-shaped design: the dataset is already a device-friendly array,
+so an "epoch" is a seeded permutation + a stream of device_put'd slices, kept
+``prefetch`` batches ahead of the consumer so H2D copies overlap the train
+step. Batches land either on a single device or sharded over the mesh's
+``data`` axis (per-shard slices placed directly on their device — no full
+replication then reshard).
+"""
+
+from __future__ import annotations
+
+import collections
+import itertools
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class BatchLoader:
+    """Seeded, epoch-aware batch iterator over a resident (N, ...) array."""
+
+    def __init__(self, images: np.ndarray, batch_size: int, *,
+                 shuffle: bool = True, drop_last: bool = True, seed: int = 0,
+                 mesh: Optional[Mesh] = None, data_axis: str = "data",
+                 prefetch: int = 2):
+        if drop_last and len(images) < batch_size:
+            raise ValueError(
+                f"dataset ({len(images)}) smaller than batch ({batch_size})")
+        self.images = images
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = max(1, prefetch)
+        self.sharding = (NamedSharding(mesh, P(data_axis))
+                         if mesh is not None else None)
+
+    def __len__(self) -> int:
+        n = len(self.images) // self.batch_size
+        if not self.drop_last and len(self.images) % self.batch_size:
+            n += 1
+        return n
+
+    def epoch(self, epoch_idx: int) -> Iterator[jax.Array]:
+        """Deterministic per-epoch order: permutation seeded by (seed, epoch)."""
+        n = len(self.images)
+        if self.shuffle:
+            order = np.random.RandomState((self.seed, epoch_idx)).permutation(n)
+        else:
+            order = np.arange(n)
+        steps = len(self)
+
+        def host_batches():
+            for b in range(steps):
+                sel = order[b * self.batch_size:(b + 1) * self.batch_size]
+                yield self.images[sel]
+
+        def put(x: np.ndarray) -> jax.Array:
+            if self.sharding is not None:
+                return jax.device_put(x, self.sharding)
+            return jax.device_put(x)
+
+        # Keep `prefetch` device copies in flight ahead of the consumer.
+        queue: collections.deque = collections.deque()
+        it = host_batches()
+        for x in itertools.islice(it, self.prefetch):
+            queue.append(put(x))
+        while queue:
+            nxt = next(it, None)
+            if nxt is not None:
+                queue.append(put(nxt))
+            yield queue.popleft()

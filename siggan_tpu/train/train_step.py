@@ -141,8 +141,16 @@ def make_train_step(cfg: TrainConfig):
     root = rnglib.root_key(cfg.seed)
     noise_stream = rnglib.stream(root, rnglib.STREAM_NOISE)
     drop_stream = rnglib.stream(root, rnglib.STREAM_DROPOUT)
+    aug_stream = rnglib.stream(root, rnglib.STREAM_AUGMENT)
 
     def train_step(state: TrainState, real: jax.Array) -> Tuple[TrainState, Metrics]:
+        if cfg.augment:
+            # Augmentation lives INSIDE the fused step: one dispatch per batch
+            # matters on high-latency device links, and XLA overlaps the warp
+            # with the optimizer tail of the previous step.
+            from siggan_tpu.data.augment import augment_batch_inner
+            real = augment_batch_inner(
+                real, rnglib.at_step(aug_stream, state.step), hflip=cfg.hflip)
         nk = rnglib.at_step(noise_stream, state.step)
         dk = rnglib.at_step(drop_stream, state.step)
         nkeys = jax.random.split(nk, cfg.n_critic + 1)
@@ -158,6 +166,40 @@ def make_train_step(cfg: TrainConfig):
         return state, metrics
 
     return train_step
+
+
+def make_resident_train_step(cfg: TrainConfig, n_images: int):
+    """Fused train step over an HBM-RESIDENT dataset — the TPU-native input
+    pipeline for datasets that fit device memory (signature sets easily do).
+
+    The whole dataset lives on device; batch selection happens INSIDE the
+    step from the step counter: epoch = step // steps_per_epoch, a per-epoch
+    on-device permutation (same "each image once per epoch, drop remainder"
+    semantics as torch's shuffled drop_last DataLoader), and a dynamic-slice
+    gather. Per-step host->device traffic is ZERO — on tunneled/high-latency
+    links this is the difference between ~20 ms/step and ~3 ms/step.
+
+    Returned fn: ``(state, images) -> (state, metrics)`` with images the
+    full (N, H, W, C) resident array (shard it over the data axis; the
+    gather's collective rides ICI).
+    """
+    steps_per_epoch = n_images // cfg.batch_size
+    if steps_per_epoch < 1:
+        raise ValueError(
+            f"dataset ({n_images}) smaller than global batch ({cfg.batch_size})")
+    base_step = make_train_step(cfg)
+    data_stream = rnglib.stream(rnglib.root_key(cfg.seed), rnglib.STREAM_DATA)
+
+    def train_step(state: TrainState, images: jax.Array):
+        epoch = state.step // steps_per_epoch
+        bidx = state.step % steps_per_epoch
+        perm = jax.random.permutation(rnglib.at_step(data_stream, epoch), n_images)
+        idx = jax.lax.dynamic_slice(
+            perm, (bidx * cfg.batch_size,), (cfg.batch_size,))
+        real = jnp.take(images, idx, axis=0)
+        return base_step(state, real)
+
+    return train_step, steps_per_epoch
 
 
 def make_eval_generate(cfg: TrainConfig):

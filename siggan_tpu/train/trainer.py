@@ -1,0 +1,189 @@
+"""The training engine — epoch loop, observability, checkpoints, recovery.
+
+Parity with ``GANTrainer`` (``train_vanilla_gan_signatures.py:173-635``):
+cooperative stop-file polling (checked each epoch and each batch), fixed-noise
+sample grids every ``sample_interval`` epochs, epoch/latest/best checkpoints
+every ``checkpoint_interval``, resume, epoch-averaged metric logging, mode-
+collapse warnings, best-G-loss tracking, KeyboardInterrupt-safe log flushing.
+
+TPU-shaped differences: the per-batch D/G pair is ONE jitted fused step with
+donated state; augmentation runs on device; the loader keeps H2D copies ahead
+of compute; throughput (images/sec, ms/step) is a first-class logged metric;
+and the whole loop is mesh-aware — pass a multi-device mesh and the identical
+code trains data-parallel over ICI.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from siggan_tpu.ckpt.manager import CheckpointManager
+from siggan_tpu.core import rng as rnglib
+from siggan_tpu.core.config import TrainConfig
+from siggan_tpu.core.state import TrainState, create_train_state
+from siggan_tpu.data.loader import BatchLoader
+from siggan_tpu.parallel.mesh import make_mesh, replicate
+from siggan_tpu.train.collapse import ModeCollapseDetector
+from siggan_tpu.train.train_step import (make_eval_generate, make_resident_train_step, make_train_step)
+from siggan_tpu.utils.logger import GANLogger
+from siggan_tpu.utils.visualizer import save_sample_grid
+
+
+class GANTrainer:
+    def __init__(self, cfg: TrainConfig, images: np.ndarray,
+                 stop_file: Optional[str] = None,
+                 use_mesh: bool = True,
+                 experiment_name: Optional[str] = None):
+        self.cfg = cfg
+        self.stop_file = Path(stop_file) if stop_file else None
+        self.mesh = make_mesh(cfg.mesh) if use_mesh else None
+        self.logger = GANLogger(cfg.log_dir, experiment_name)
+        self.logger.log_config(cfg.to_dict())
+        self.collapse_detector = ModeCollapseDetector(
+            cfg.mode_collapse_threshold, cfg.mode_collapse_window)
+        self.ckpt = CheckpointManager(cfg.checkpoint_dir, cfg)
+
+        data_mb = images.nbytes / 2 ** 20
+        self.resident = cfg.resident_data and data_mb <= cfg.resident_max_mb
+        batch_sharding = (NamedSharding(self.mesh, P(cfg.mesh.data_axis))
+                          if self.mesh is not None else None)
+        if self.resident:
+            # Whole dataset to HBM once; batches are gathered on device.
+            self.images_dev = (jax.device_put(images, batch_sharding)
+                               if batch_sharding else jax.device_put(images))
+            step_fn, self.steps_per_epoch = make_resident_train_step(
+                cfg, len(images))
+            self.loader = None
+        else:
+            self.loader = BatchLoader(
+                images, cfg.batch_size, seed=cfg.seed, mesh=self.mesh,
+                data_axis=cfg.mesh.data_axis, prefetch=cfg.prefetch)
+            self.steps_per_epoch = len(self.loader)
+            step_fn = make_train_step(cfg)
+
+        state = create_train_state(cfg)
+        if self.mesh is not None:
+            state = replicate(self.mesh, state)
+            self._step_fn = jax.jit(
+                step_fn,
+                in_shardings=(NamedSharding(self.mesh, P()), batch_sharding),
+                donate_argnums=(0,))
+        else:
+            self._step_fn = jax.jit(step_fn, donate_argnums=(0,))
+        self.state: TrainState = state
+        self._generate = jax.jit(make_eval_generate(cfg))
+
+        self.fixed_noise = jax.random.normal(
+            rnglib.stream(rnglib.root_key(cfg.seed), rnglib.STREAM_FIXED),
+            (cfg.fixed_noise_samples, cfg.model.latent_dim), jnp.float32)
+        self.start_epoch = 0
+        self.best_g_loss = float("inf")
+
+    # ------------------------------------------------------------------
+    def _should_stop(self) -> bool:
+        return self.stop_file is not None and self.stop_file.exists()
+
+    def _sample_grid(self, epoch: int) -> Path:
+        imgs = np.asarray(jax.device_get(
+            self._generate(self.state, self.fixed_noise)))
+        return save_sample_grid(
+            imgs, Path(self.cfg.sample_dir) / f"epoch_{epoch:04d}.png")
+
+    def _save_checkpoint(self, epoch: int, g_loss: float) -> None:
+        self.ckpt.save(self.state, epoch=epoch,
+                       fixed_noise=self.fixed_noise, g_loss=g_loss)
+
+    def resume(self, which: str | int = "latest") -> bool:
+        out = self.ckpt.restore(which)
+        if out is None:
+            return False
+        state, extras = out
+        self.state = (replicate(self.mesh, state)
+                      if self.mesh is not None else state)
+        self.fixed_noise = extras["fixed_noise"]
+        self.start_epoch = extras["epoch"] + 1
+        self.best_g_loss = extras["best_g_loss"]
+        print(f"Resumed from epoch {extras['epoch']} "
+              f"(step {int(state.step)})", flush=True)
+        return True
+
+    # ------------------------------------------------------------------
+    def train(self, epochs: Optional[int] = None) -> Dict:
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg.epochs
+        stopped = False
+        try:
+            if self.start_epoch == 0:
+                self._sample_grid(0)
+            for epoch in range(self.start_epoch, epochs):
+                if self._should_stop():
+                    print("Stop file detected — stopping before epoch "
+                          f"{epoch}", flush=True)
+                    stopped = True
+                    break
+                # Fully async epoch: steps are dispatched without any host
+                # sync (a blocking round trip costs ~50 ms on tunneled TPUs);
+                # per-batch metrics stay on device and are pulled once at
+                # epoch end, where the collapse detector replays them.
+                device_metrics = []
+                t_epoch = time.perf_counter()
+                batches = (range(self.steps_per_epoch) if self.resident
+                           else self.loader.epoch(epoch))
+                for bidx, batch in enumerate(batches):
+                    arg = self.images_dev if self.resident else batch
+                    self.state, metrics = self._step_fn(self.state, arg)
+                    device_metrics.append(metrics)
+                    if self._should_stop():
+                        print("Stop file detected — stopping mid-epoch",
+                              flush=True)
+                        stopped = True
+                        break
+                jax.block_until_ready(device_metrics[-1]["g_loss"])
+                dt = time.perf_counter() - t_epoch
+                n_steps = bidx + 1
+                # One transfer per metric key (stacked on device), not one per
+                # (key, step) scalar — transfer count matters on tunneled links.
+                stacked = jax.device_get(jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *device_metrics))
+                for g, dfm in zip(stacked["g_loss"], stacked["d_fake_mean"]):
+                    self.collapse_detector.update(float(g), float(dfm))
+                avgs = {k: float(np.mean(v)) for k, v in stacked.items()}
+                avgs["images_per_sec"] = cfg.batch_size * n_steps / dt
+                avgs["ms_per_step"] = dt / n_steps * 1000.0
+                self.logger.log_metrics(epoch, avgs)
+
+                collapsed, reason = self.collapse_detector.check_collapse()
+                if collapsed:
+                    print(f"WARNING: possible mode collapse — {reason}",
+                          flush=True)
+
+                if (epoch + 1) % cfg.sample_interval == 0:
+                    self._sample_grid(epoch + 1)
+                g_avg = avgs.get("g_loss", float("inf"))
+                if g_avg < self.best_g_loss:
+                    self.best_g_loss = g_avg
+                if (epoch + 1) % cfg.checkpoint_interval == 0 or stopped:
+                    self._save_checkpoint(epoch, g_avg)
+                if stopped:
+                    break
+            else:
+                epoch = epochs - 1
+            # Final checkpoint + grid regardless of interval alignment.
+            if epochs > self.start_epoch:
+                self._save_checkpoint(epoch, self.logger.metrics[-1].get(
+                    "g_loss", float("inf")) if self.logger.metrics else float("inf"))
+                self._sample_grid(epoch + 1)
+        except KeyboardInterrupt:
+            print("Interrupted — saving checkpoint", flush=True)
+            self._save_checkpoint(epoch, float("inf"))
+        finally:
+            self.logger.save_to_csv()
+            self.logger.save_to_json()
+        return self.logger.get_summary()

@@ -1,0 +1,116 @@
+"""Checkpoint round-trip + end-to-end trainer smoke (CPU, tiny shapes).
+
+Mirrors the reference's strongest self-test (``vanilla_gan_model.py:663-719``
+save -> reload round-trip) plus trainer behaviors it only exercises manually:
+stop-file, resume, best/latest aliases.
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from siggan_tpu.ckpt.manager import CheckpointManager, infer_architecture, load_generator
+from siggan_tpu.core.config import ModelConfig, TrainConfig
+from siggan_tpu.core.state import create_train_state
+from siggan_tpu.train.trainer import GANTrainer
+
+
+def _cfg(tmp_path, **kw):
+    base = dict(
+        model=ModelConfig(latent_dim=8, image_size=64, base_features=16),
+        batch_size=8, epochs=2, compute_dtype="float32", seed=0,
+        sample_interval=1, checkpoint_interval=1, fixed_noise_samples=4,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        sample_dir=str(tmp_path / "samples"),
+        log_dir=str(tmp_path / "logs"),
+        augment=False, prefetch=1,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def _images(n=16):
+    return (np.random.RandomState(0).rand(n, 64, 64, 1) * 2 - 1).astype(np.float32)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = _cfg(tmp_path)
+    mgr = CheckpointManager(cfg.checkpoint_dir, cfg)
+    state = create_train_state(cfg)
+    noise = jnp.ones((4, 8), jnp.float32)
+    mgr.save(state, epoch=0, fixed_noise=noise, g_loss=2.0)
+    mgr.save(state.replace(step=state.step + 5), epoch=1,
+             fixed_noise=noise, g_loss=1.0)
+    mgr.save(state.replace(step=state.step + 9), epoch=2,
+             fixed_noise=noise, g_loss=3.0)
+
+    idx = mgr.available()
+    assert idx["latest"] == 2 and idx["best"] == 1
+
+    st, extras = mgr.restore("best")
+    assert int(st.step) == 5 and extras["epoch"] == 1
+    st2, extras2 = mgr.restore("latest")
+    assert int(st2.step) == 9 and extras2["epoch"] == 2
+    np.testing.assert_array_equal(np.asarray(extras["fixed_noise"]),
+                                  np.ones((4, 8), np.float32))
+    # params identical after round trip
+    a = jax.tree_util.tree_leaves(state.g_params)[0]
+    b = jax.tree_util.tree_leaves(st.g_params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_generator_and_arch_inference(tmp_path):
+    cfg = _cfg(tmp_path)
+    mgr = CheckpointManager(cfg.checkpoint_dir, cfg)
+    state = create_train_state(cfg)
+    mgr.save(state, epoch=0, fixed_noise=jnp.zeros((4, 8)), g_loss=1.0)
+    g_params, g_bn, loaded_cfg = load_generator(cfg.checkpoint_dir)
+    assert loaded_cfg.model.latent_dim == 8
+    arch = infer_architecture(g_params)
+    assert arch == {"latent_dim": 8, "image_size": 64, "base_features": 16}
+
+
+def test_trainer_end_to_end_with_resume_and_stop(tmp_path):
+    cfg = _cfg(tmp_path)
+    stop_file = tmp_path / "STOP"
+    tr = GANTrainer(cfg, _images(), stop_file=str(stop_file), use_mesh=False)
+    summary = tr.train(epochs=2)
+    assert summary["epochs_logged"] == 2
+    # artifacts exist
+    assert (tmp_path / "samples" / "epoch_0000.png").exists()
+    assert any((tmp_path / "logs").glob("*.json"))
+    assert tr.ckpt.available()["latest"] == 1
+
+    # resume continues from epoch 2
+    tr2 = GANTrainer(cfg, _images(), use_mesh=False)
+    assert tr2.resume()
+    assert tr2.start_epoch == 2
+    tr2.train(epochs=3)
+    assert tr2.ckpt.available()["latest"] == 2
+
+    # stop file halts immediately
+    stop_file.write_text("")
+    tr3 = GANTrainer(cfg, _images(), stop_file=str(stop_file), use_mesh=False)
+    tr3.train(epochs=5)
+    assert len(tr3.logger.metrics) == 0  # stopped before first epoch
+
+
+def test_trainer_on_mesh(tmp_path, devices):
+    cfg = _cfg(tmp_path, batch_size=16)
+    tr = GANTrainer(cfg, _images(32), use_mesh=True)
+    assert tr.mesh is not None and tr.mesh.shape["data"] == 8
+    summary = tr.train(epochs=1)
+    assert summary["epochs_logged"] == 1
+    assert np.isfinite(summary["g_loss"]["last"])
+
+
+def test_logger_outputs(tmp_path):
+    cfg = _cfg(tmp_path)
+    tr = GANTrainer(cfg, _images(), use_mesh=False)
+    tr.train(epochs=1)
+    js = json.loads(next((tmp_path / "logs").glob("*.json")).read_text())
+    assert js["config"]["batch_size"] == 8
+    assert {"d_loss", "g_loss", "images_per_sec"} <= set(js["metrics"][0])

@@ -1,0 +1,80 @@
+"""Dataset / loader / augmentation tests (reference loader __main__ parity)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from siggan_tpu.data.augment import augment_batch, augment_key
+from siggan_tpu.data.dataset import SignatureDataset, train_val_split
+from siggan_tpu.data.loader import BatchLoader
+
+
+@pytest.fixture()
+def image_dir(tmp_path):
+    rs = np.random.RandomState(0)
+    for i in range(12):
+        arr = np.full((80, 100), 255, np.uint8)
+        arr[20:60, 10 + i * 5:40 + i * 5] = rs.randint(0, 100)
+        Image.fromarray(arr).save(tmp_path / f"sig_{i:02d}.png")
+    (tmp_path / "notes.txt").write_text("ignored")
+    return tmp_path
+
+
+def test_dataset_decodes_and_normalizes(image_dir):
+    ds = SignatureDataset(image_dir, image_size=64)
+    assert len(ds) == 12
+    assert ds.images.shape == (12, 64, 64, 1)
+    assert ds.images.min() >= -1.0 and ds.images.max() <= 1.0
+    stats = ds.statistics()
+    assert stats["num_images"] == 12
+
+
+def test_dataset_cache_roundtrip(image_dir):
+    ds1 = SignatureDataset(image_dir, image_size=64)
+    ds2 = SignatureDataset(image_dir, image_size=64)  # hits .npy cache
+    np.testing.assert_array_equal(ds1.images, ds2.images)
+
+
+def test_dataset_corrupt_file_fallback(image_dir):
+    (image_dir / "broken.png").write_bytes(b"not a png at all")
+    ds = SignatureDataset(image_dir, image_size=64, use_cache=False)
+    assert len(ds) == 13  # zero image substituted, not dropped
+
+
+def test_train_val_split(image_dir):
+    ds = SignatureDataset(image_dir, image_size=64)
+    tr, va = train_val_split(ds, val_fraction=0.25, seed=1)
+    assert len(tr) == 9 and len(va) == 3
+
+
+def test_loader_determinism_and_drop_last(image_dir):
+    ds = SignatureDataset(image_dir, image_size=64)
+    loader = BatchLoader(ds.images, batch_size=5, seed=3)
+    assert len(loader) == 2  # 12 // 5, drop_last
+    a = [np.asarray(b) for b in loader.epoch(0)]
+    b = [np.asarray(b) for b in loader.epoch(0)]
+    np.testing.assert_array_equal(a[0], b[0])
+    c = [np.asarray(b) for b in loader.epoch(1)]
+    assert not np.array_equal(a[0], c[0])  # different epoch, different order
+
+
+def test_augment_shapes_and_white_fill():
+    import jax.numpy as jnp
+    batch = jnp.full((4, 64, 64, 1), -0.5)
+    out = augment_batch(batch, augment_key(0, 0))
+    assert out.shape == batch.shape
+    # rotation corners must be filled white (+1), so max is exactly 1
+    assert float(out.max()) == 1.0
+    # disabled path is identity
+    out2 = augment_batch(batch, augment_key(0, 0), enabled=False)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(batch))
+
+
+def test_augment_deterministic_per_step():
+    import jax.numpy as jnp
+    batch = jnp.ones((2, 64, 64, 1)) * 0.3
+    a = augment_batch(batch, augment_key(0, 5))
+    b = augment_batch(batch, augment_key(0, 5))
+    c = augment_batch(batch, augment_key(0, 6))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
