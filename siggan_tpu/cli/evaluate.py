@@ -1,0 +1,85 @@
+"""Evaluation CLI.
+
+Parity with ``evaluate_vanilla_gan_signatures.py:447-612``: load a
+checkpoint, generate N samples, load real images, compute FID/LPIPS/stroke
+metrics, write sample grids and a JSON report, print a summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+
+def parse_arguments(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="Evaluate a signature GAN checkpoint")
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--which", type=str, default="latest")
+    p.add_argument("--data_dir", type=str, required=True,
+                   help="directory of real (preprocessed) images")
+    p.add_argument("--n_samples", type=int, default=500)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--output_dir", type=str, default="./evaluation")
+    p.add_argument("--lpips_subset", type=int, default=100)
+    p.add_argument("--max_real", type=int, default=None)
+    p.add_argument("--inception_weights", type=str, default=None,
+                   help="optional torchvision inception_v3 state-dict file "
+                        "(.pt/.npz) for true-FID parity")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    from siggan_tpu.core.platform import setup
+    setup()
+    args = parse_arguments(argv)
+    which = args.which if args.which in ("latest", "best") else int(args.which)
+    out = Path(args.output_dir)
+
+    from siggan_tpu.data.dataset import SignatureDataset
+    from siggan_tpu.eval.evaluate import (compute_metrics, print_summary,
+                                          save_evaluation_report)
+    from siggan_tpu.infer.export import contact_sheet
+    from siggan_tpu.infer.generate import load_session
+
+    session = load_session(args.checkpoint, which)
+    print(f"Generating {args.n_samples} samples…", flush=True)
+    fake = session.sample(args.n_samples, seed=args.seed,
+                          batch_size=args.batch_size)
+
+    real_ds = SignatureDataset(args.data_dir, session.cfg.image_size,
+                               max_images=args.max_real)
+    real = real_ds.images
+    print(f"Real set: {len(real)} images", flush=True)
+
+    inception_params = None
+    if args.inception_weights:
+        inception_params = _load_inception_weights(args.inception_weights)
+
+    results = compute_metrics(real, fake, lpips_subset=args.lpips_subset,
+                              inception_params=inception_params)
+    contact_sheet(fake[:64], out / "fake_grid.png")
+    contact_sheet(real[:64], out / "real_grid.png")
+    report = save_evaluation_report(
+        results, out / "evaluation_report.json",
+        extra={"checkpoint": args.checkpoint, "which": str(which),
+               "n_samples": args.n_samples, "n_real": len(real),
+               "seed": args.seed})
+    print_summary(results)
+    print(f"Report: {report}")
+    return 0
+
+
+def _load_inception_weights(path: str):
+    from siggan_tpu.eval.inception import convert_torch_state_dict
+    if path.endswith(".npz"):
+        import numpy as np
+        return convert_torch_state_dict(dict(np.load(path)))
+    import torch
+    return convert_torch_state_dict(torch.load(path, map_location="cpu",
+                                               weights_only=True))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -73,13 +73,32 @@ class SignatureDataset:
             arr = np.load(cache)
             if arr.shape[0] == len(self.paths):
                 return arr
-        arr = np.stack([decode_image(p, self.image_size) for p in self.paths])
+        arr = self._decode_all()
         if use_cache:
             try:
                 np.save(cache, arr)
             except OSError as e:
                 logger.warning("could not write dataset cache: %s", e)
         return arr
+
+    def _decode_all(self) -> np.ndarray:
+        """Prefer the threaded native C++ decoder; PIL per-file fallback.
+
+        Failed native decodes fall back to PIL individually, which applies
+        the zero-image contract for genuinely corrupt files.
+        """
+        from siggan_tpu.data.native import loader as native
+
+        if native.available():
+            try:
+                u8, statuses = native.decode_batch(self.paths, self.image_size)
+                arr = (u8.astype(np.float32) / 255.0 * 2.0 - 1.0)[..., None]
+                for i in np.nonzero(statuses != 0)[0]:
+                    arr[i] = decode_image(self.paths[i], self.image_size)
+                return arr
+            except (RuntimeError, OSError) as e:
+                logger.warning("native decode failed (%s); using PIL", e)
+        return np.stack([decode_image(p, self.image_size) for p in self.paths])
 
     def __len__(self) -> int:
         return len(self.paths)

@@ -1,0 +1,100 @@
+"""Evaluation orchestrator — FID / LPIPS / stroke stats with graceful failure.
+
+Parity with ``evaluate_vanilla_gan_signatures.py:241-443`` (compute_metrics /
+save_evaluation_report / print_summary): generate N samples from a
+checkpoint, load matching real images, compute each metric with per-metric
+exception capture (one broken metric never kills the report), write a JSON
+report, print a console summary. LPIPS runs on a <=100-image subset (:289).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import traceback
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def compute_metrics(real: np.ndarray, fake: np.ndarray, *,
+                    lpips_subset: int = 100,
+                    inception_params=None, lpips_params=None) -> Dict[str, Any]:
+    """Both inputs (N, H, W, 1) float32 in [-1, 1]."""
+    from siggan_tpu.eval import lpips as lpips_mod
+    from siggan_tpu.eval.fid import FIDScorer
+    from siggan_tpu.eval.stroke import (calculate_foreground_ratio,
+                                        calculate_stroke_density)
+
+    results: Dict[str, Any] = {"errors": {}}
+
+    try:
+        scorer = FIDScorer(inception_params)
+        results["fid"] = scorer.fid(real, fake)
+        results["fid_backbone"] = scorer.backbone
+    except Exception as e:
+        results["errors"]["fid"] = f"{type(e).__name__}: {e}"
+        traceback.print_exc()
+
+    try:
+        params = lpips_params if lpips_params is not None else lpips_mod.init_params()
+        results["lpips_diversity"] = lpips_mod.diversity(
+            params, fake[:lpips_subset])
+        results["lpips_backbone"] = ("torchvision" if lpips_params is not None
+                                     else "random-init")
+    except Exception as e:
+        results["errors"]["lpips"] = f"{type(e).__name__}: {e}"
+        traceback.print_exc()
+
+    try:
+        results["stroke_density"] = {
+            "fake": calculate_stroke_density(fake),
+            "real": calculate_stroke_density(real),
+        }
+        results["foreground_ratio"] = {
+            "fake": calculate_foreground_ratio(fake),
+            "real": calculate_foreground_ratio(real),
+        }
+    except Exception as e:
+        results["errors"]["stroke_stats"] = f"{type(e).__name__}: {e}"
+        traceback.print_exc()
+
+    return results
+
+
+def save_evaluation_report(results: Dict[str, Any], path: str | Path,
+                           extra: Optional[Dict[str, Any]] = None) -> Path:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    report = {
+        "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+        **(extra or {}),
+        "metrics": results,
+    }
+    path.write_text(json.dumps(report, indent=2))
+    return path
+
+
+def print_summary(results: Dict[str, Any]) -> None:
+    print("=" * 60)
+    print("EVALUATION SUMMARY")
+    print("=" * 60)
+    if "fid" in results:
+        verdict = ("excellent" if results["fid"] < 30 else
+                   "good" if results["fid"] < 50 else
+                   "fair" if results["fid"] < 80 else "poor")
+        print(f"FID: {results['fid']:.2f} ({verdict}) "
+              f"[backbone: {results.get('fid_backbone')}]")
+    if "lpips_diversity" in results:
+        div = ("diverse" if results["lpips_diversity"] > 0.1 else
+               "low diversity — possible mode collapse")
+        print(f"LPIPS diversity: {results['lpips_diversity']:.4f} ({div})")
+    for key in ("stroke_density", "foreground_ratio"):
+        if key in results:
+            f, r = results[key]["fake"], results[key]["real"]
+            print(f"{key}: fake {f['mean']:.4f}±{f['std']:.4f} "
+                  f"vs real {r['mean']:.4f}±{r['std']:.4f}")
+    if results.get("errors"):
+        print(f"errors: {results['errors']}")
+    print("=" * 60)

@@ -1,0 +1,93 @@
+"""Seeded batched generation — the inference engine.
+
+Parity with ``utils/inference.py:136-194`` (generate_signatures_batch):
+deterministic base seed, per-batch derived seeds (the reference's
+``batch_seed = base + batch#``, ``app…py:1337``, becomes a fold_in of the
+batch index), a ``noise_scale`` diversity knob (z ~ N(0, scale^2)), batched
+forward passes, optional progress callback, and latent interpolation
+(``vanilla_gan_model.py:374``).
+
+TPU-shaped: one jitted generator forward reused across batches; the device
+loop is dispatched fully async and synced once at the end.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from siggan_tpu.core import rng as rnglib
+from siggan_tpu.core.config import ModelConfig
+from siggan_tpu.models import generator
+from siggan_tpu.utils.visualizer import to_uint8
+
+
+class GeneratorSession:
+    """A loaded generator ready for repeated batched sampling."""
+
+    def __init__(self, g_params, g_bn, model_cfg: ModelConfig,
+                 compute_dtype: Optional[str] = "bfloat16"):
+        self.params = g_params
+        self.bn = g_bn
+        self.cfg = model_cfg
+        dt = jnp.dtype(compute_dtype) if compute_dtype else None
+
+        def fwd(z):
+            img, _ = generator.apply_fn(
+                g_params, g_bn, z, model_cfg, train=False, compute_dtype=dt)
+            return img
+
+        self._fwd = jax.jit(fwd)
+
+    def sample(self, n: int, *, seed: int = 42, noise_scale: float = 1.0,
+               batch_size: int = 64,
+               progress: Optional[Callable[[int, int], None]] = None,
+               ) -> np.ndarray:
+        """Generate n images, (n, H, W, C) float32 in [-1, 1]."""
+        stream = rnglib.stream(rnglib.root_key(seed), rnglib.STREAM_EVAL)
+        outs = []
+        done = 0
+        for bidx in range(-(-n // batch_size)):
+            take = min(batch_size, n - done)
+            z = generator.generate_latent(
+                rnglib.at_step(stream, bidx), batch_size, self.cfg, noise_scale)
+            outs.append(self._fwd(z)[:take])
+            done += take
+            if progress is not None:
+                progress(done, n)
+        return np.asarray(jax.device_get(jnp.concatenate(outs, axis=0)))
+
+    def sample_uint8(self, n: int, **kw) -> np.ndarray:
+        return to_uint8(self.sample(n, **kw))
+
+    def interpolate(self, *, seed: int = 0, steps: int = 10,
+                    z1: Optional[np.ndarray] = None,
+                    z2: Optional[np.ndarray] = None) -> np.ndarray:
+        """Linear interpolation between two latents -> (steps, H, W, C)."""
+        if z1 is None or z2 is None:
+            k = rnglib.stream(rnglib.root_key(seed), rnglib.STREAM_EVAL)
+            k1, k2 = jax.random.split(k)
+            z1 = generator.generate_latent(k1, 1, self.cfg)[0]
+            z2 = generator.generate_latent(k2, 1, self.cfg)[0]
+        alphas = jnp.linspace(0.0, 1.0, steps)[:, None]
+        zs = (1 - alphas) * jnp.asarray(z1)[None] + alphas * jnp.asarray(z2)[None]
+        return np.asarray(jax.device_get(self._fwd(zs)))
+
+    def score_with_discriminator(self, images: np.ndarray, d_params, d_state,
+                                 model_cfg: ModelConfig) -> np.ndarray:
+        """D(x) probabilities for quality filtering (app…py:1362-1383)."""
+        from siggan_tpu.models import discriminator
+        logits, _ = discriminator.apply_fn(
+            d_params, d_state, jnp.asarray(images), model_cfg, train=False)
+        return np.asarray(jax.device_get(jax.nn.sigmoid(logits)))[:, 0]
+
+
+def load_session(checkpoint_dir: str, which: str | int = "latest",
+                 ) -> GeneratorSession:
+    from siggan_tpu.ckpt.manager import load_generator
+    g_params, g_bn, cfg = load_generator(checkpoint_dir, which)
+    return GeneratorSession(g_params, g_bn, cfg.model,
+                            compute_dtype=cfg.compute_dtype)

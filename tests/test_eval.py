@@ -1,0 +1,111 @@
+"""Evaluation harness tests: Inception port structure, FID behavior,
+LPIPS diversity, stroke stats vs the reference's torch formulas."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from siggan_tpu.eval import inception, lpips as lpips_mod
+from siggan_tpu.eval.fid import FIDScorer, frechet_distance
+from siggan_tpu.eval.stroke import (MetricsTracker, calculate_foreground_ratio,
+                                    calculate_stroke_density)
+
+
+@pytest.fixture(scope="module")
+def incep_params():
+    return inception.init_params(seed=0)
+
+
+def test_inception_structure(incep_params):
+    """The port must produce 2048-d pooled features from 299x299x3 input —
+    the same tensor contract as torchvision's inception_v3 with fc=Identity."""
+    x = jax.random.uniform(jax.random.key(0), (2, 299, 299, 3),
+                           minval=-1, maxval=1)
+    feats = inception.apply(incep_params, x)
+    assert feats.shape == (2, inception.FEATURE_DIM)
+    assert bool(jnp.all(jnp.isfinite(feats)))
+
+
+def test_prepare_images_replicates_and_resizes():
+    x = jnp.zeros((3, 64, 64, 1))
+    y = inception.prepare_images(x)
+    assert y.shape == (3, 299, 299, 3)
+
+
+def test_fid_identical_sets_is_zero(incep_params):
+    rs = np.random.RandomState(0)
+    imgs = (rs.rand(16, 64, 64, 1) * 2 - 1).astype(np.float32)
+    scorer = FIDScorer(incep_params, batch_size=8)
+    assert scorer.backbone == "torchvision"  # params explicitly provided
+    f = scorer.features(imgs)
+    assert f.shape == (16, 2048)
+    assert abs(frechet_distance(f, f)) < 1e-3
+
+
+def test_fid_discriminates_distributions(incep_params):
+    """FID(same distribution) must be far below FID(different distribution) —
+    the property that makes random-backbone FID a usable relative metric."""
+    rs = np.random.RandomState(1)
+    strokes_a = np.ones((12, 64, 64, 1), np.float32)
+    strokes_b = np.ones((12, 64, 64, 1), np.float32)
+    for arr, seed in ((strokes_a, 2), (strokes_b, 3)):
+        r = np.random.RandomState(seed)
+        for img in arr:
+            y = r.randint(10, 54)
+            img[y - 2:y + 2, 5:60, 0] = -1.0
+    noise = (rs.rand(12, 64, 64, 1) * 2 - 1).astype(np.float32)
+    scorer = FIDScorer(incep_params, batch_size=6)
+    fid_close = scorer.fid(strokes_a, strokes_b)
+    fid_far = scorer.fid(strokes_a, noise)
+    assert fid_far > 3 * fid_close, (fid_close, fid_far)
+
+
+def test_lpips_identical_is_zero_and_diversity_orders():
+    params = lpips_mod.init_params(seed=0)
+    rs = np.random.RandomState(0)
+    img = (rs.rand(1, 64, 64, 3) * 2 - 1).astype(np.float32)
+    d = lpips_mod.distance(params, jnp.asarray(img), jnp.asarray(img))
+    assert float(d[0]) < 1e-6
+    same = np.repeat(img[:1], 8, axis=0)
+    varied = (rs.rand(8, 64, 64, 3) * 2 - 1).astype(np.float32)
+    assert lpips_mod.diversity(params, same) < 1e-6
+    assert lpips_mod.diversity(params, varied) > 1e-3
+
+
+def test_stroke_stats_match_reference_formulas():
+    """Check against a direct numpy transcription of metrics.py:118-174."""
+    rs = np.random.RandomState(0)
+    imgs = (rs.rand(16, 64, 64, 1) * 2 - 1).astype(np.float32)
+    ours = calculate_stroke_density(imgs)
+    x = (imgs + 1) / 2
+    dens = (x < 0.5).reshape(16, -1).mean(axis=1)
+    assert abs(ours["mean"] - dens.mean()) < 1e-6
+    assert abs(ours["std"] - dens.std()) < 1e-6
+    fr = calculate_foreground_ratio(imgs)
+    assert abs(fr["percentiles"]["50"] - np.percentile(dens, 50)) < 1e-6
+
+
+def test_metrics_tracker():
+    t = MetricsTracker()
+    t.add("loss", 1.0)
+    t.add("loss", 3.0)
+    assert t.get_average("loss") == 2.0
+    t.reset()
+    assert t.get_history("loss") == [2.0]
+    assert t.get_last("loss") == 2.0
+
+
+def test_compute_metrics_graceful_failure(monkeypatch):
+    """A broken metric must be captured, not fatal (evaluate…py:264-325)."""
+    from siggan_tpu.eval import evaluate as ev
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic failure")
+
+    monkeypatch.setattr("siggan_tpu.eval.fid.FIDScorer.fid", boom)
+    rs = np.random.RandomState(0)
+    imgs = (rs.rand(8, 64, 64, 1) * 2 - 1).astype(np.float32)
+    res = ev.compute_metrics(imgs, imgs, lpips_subset=4)
+    assert "fid" in res["errors"]
+    assert "lpips_diversity" in res  # others still computed
