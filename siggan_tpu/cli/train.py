@@ -52,6 +52,8 @@ def parse_arguments(argv=None) -> argparse.Namespace:
     p.add_argument("--num_data_devices", type=int, default=-1,
                    help="-1 = all visible devices on the data axis")
     p.add_argument("--max_images", type=int, default=None)
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="capture a jax.profiler trace of one epoch here")
     return p.parse_args(argv)
 
 
@@ -76,6 +78,7 @@ def build_config(args: argparse.Namespace):
         checkpoint_interval=args.checkpoint_interval,
         data_dir=args.data_dir, checkpoint_dir=ckpt, sample_dir=sample,
         log_dir=log, augment=not args.no_augment, hflip=args.hflip,
+        profile_dir=args.profile_dir,
     )
 
 

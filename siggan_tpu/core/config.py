@@ -112,6 +112,11 @@ class TrainConfig:
     resident_data: bool = True
     resident_max_mb: int = 4096
 
+    # Observability: when set, the trainer captures a jax.profiler trace of
+    # the first post-warmup epoch into this directory (view with
+    # tensorboard / xprof). SURVEY §5: the reference has no tracing at all.
+    profile_dir: str = ""
+
     def to_dict(self) -> Dict[str, Any]:
         return _asdict(self)
 

@@ -132,6 +132,11 @@ class GANTrainer:
                 # sync (a blocking round trip costs ~50 ms on tunneled TPUs);
                 # per-batch metrics stay on device and are pulled once at
                 # epoch end, where the collapse detector replays them.
+                # Profiler hook: trace the first post-warmup epoch (epoch 1,
+                # so compile noise from epoch 0 stays out of the capture).
+                profiling = bool(cfg.profile_dir) and epoch == self.start_epoch + 1
+                if profiling:
+                    jax.profiler.start_trace(cfg.profile_dir)
                 device_metrics = []
                 t_epoch = time.perf_counter()
                 batches = (range(self.steps_per_epoch) if self.resident
@@ -146,6 +151,10 @@ class GANTrainer:
                         stopped = True
                         break
                 jax.block_until_ready(device_metrics[-1]["g_loss"])
+                if profiling:
+                    jax.profiler.stop_trace()
+                    print(f"Profiler trace written to {cfg.profile_dir}",
+                          flush=True)
                 dt = time.perf_counter() - t_epoch
                 n_steps = bidx + 1
                 # One transfer per metric key (stacked on device), not one per
