@@ -31,7 +31,7 @@ def main() -> None:
 
     from siggan_tpu.core.config import TrainConfig
     from siggan_tpu.core.state import create_train_state
-    from siggan_tpu.train.train_step import make_resident_train_step
+    from siggan_tpu.train.train_step import make_resident_multi_step
 
     cfg = TrainConfig()  # reference recipe, incl. device-side augmentation
     state = create_train_state(cfg)
@@ -40,30 +40,32 @@ def main() -> None:
 
     rs = np.random.RandomState(0)
     # HBM-resident dataset, as the trainer runs it: batch selection, shuffle,
-    # and augmentation all happen inside the fused step (full-pipeline number).
+    # augmentation, and a device-side lax.scan loop all inside one dispatch
+    # (full-pipeline number).
     images = jax.numpy.asarray(
         (rs.rand(2048, cfg.model.image_size, cfg.model.image_size,
                  cfg.model.image_channels) * 2 - 1).astype(np.float32))
 
-    step_fn, _ = make_resident_train_step(cfg, images.shape[0])
+    K = 32
+    step_fn, _ = make_resident_multi_step(cfg, images.shape[0], K)
     step = jax.jit(step_fn, donate_argnums=(0,))
+
+    def sync(s):
+        jax.block_until_ready(jax.tree_util.tree_leaves(s)[0])
 
     # Compile + warmup.
     state, metrics = step(state, images)
-    jax.block_until_ready(metrics)
-    for _ in range(5):
-        state, metrics = step(state, images)
-    jax.block_until_ready(metrics)
+    sync(state)
 
     # Timed region.
-    n_iters = 200
+    n_iters = 8
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, metrics = step(state, images)
-    jax.block_until_ready(metrics)
+    sync(state)
     dt = time.perf_counter() - t0
 
-    img_s = cfg.batch_size * n_iters / dt
+    img_s = cfg.batch_size * K * n_iters / dt
     result = {
         "metric": "gan_train_images_per_sec_per_chip_64px_b64",
         "value": round(img_s, 1),

@@ -111,6 +111,10 @@ class TrainConfig:
     prefetch: int = 2
     resident_data: bool = True
     resident_max_mb: int = 4096
+    # Device-side training loop: steps per dispatch (lax.scan). 0 = auto
+    # (min(steps_per_epoch, 32)); 1 = one dispatch per step (reference-like
+    # per-batch host control, finest stop-file granularity).
+    scan_steps: int = 0
 
     # Observability: when set, the trainer captures a jax.profiler trace of
     # the first post-warmup epoch into this directory (view with

@@ -31,7 +31,7 @@ from siggan_tpu.core.state import TrainState, create_train_state
 from siggan_tpu.data.loader import BatchLoader
 from siggan_tpu.parallel.mesh import make_mesh, replicate
 from siggan_tpu.train.collapse import ModeCollapseDetector
-from siggan_tpu.train.train_step import (make_eval_generate, make_resident_train_step, make_train_step)
+from siggan_tpu.train.train_step import (make_eval_generate, make_resident_multi_step, make_train_step)
 from siggan_tpu.utils.logger import GANLogger
 from siggan_tpu.utils.visualizer import save_sample_grid
 
@@ -55,11 +55,14 @@ class GANTrainer:
         batch_sharding = (NamedSharding(self.mesh, P(cfg.mesh.data_axis))
                           if self.mesh is not None else None)
         if self.resident:
-            # Whole dataset to HBM once; batches are gathered on device.
+            # Whole dataset to HBM once; batches are gathered on device and
+            # scan_steps train steps run per dispatch (device-side loop).
             self.images_dev = (jax.device_put(images, batch_sharding)
                                if batch_sharding else jax.device_put(images))
-            step_fn, self.steps_per_epoch = make_resident_train_step(
-                cfg, len(images))
+            spe = len(images) // cfg.batch_size
+            self.scan_steps = cfg.scan_steps or max(1, min(spe, 32))
+            step_fn, self.steps_per_epoch = make_resident_multi_step(
+                cfg, len(images), self.scan_steps)
             self.loader = None
         else:
             self.loader = BatchLoader(
@@ -138,29 +141,46 @@ class GANTrainer:
                 if profiling:
                     jax.profiler.start_trace(cfg.profile_dir)
                 device_metrics = []
+                n_steps = 0
                 t_epoch = time.perf_counter()
-                batches = (range(self.steps_per_epoch) if self.resident
-                           else self.loader.epoch(epoch))
-                for bidx, batch in enumerate(batches):
-                    arg = self.images_dev if self.resident else batch
-                    self.state, metrics = self._step_fn(self.state, arg)
-                    device_metrics.append(metrics)
-                    if self._should_stop():
-                        print("Stop file detected — stopping mid-epoch",
-                              flush=True)
-                        stopped = True
-                        break
+                if self.resident:
+                    # Dispatch scan_steps-sized chunks; the stop-file is
+                    # polled between chunks (granularity scan_steps batches
+                    # vs the reference's 1 — set scan_steps=1 to match).
+                    remaining = self.steps_per_epoch
+                    while remaining > 0:
+                        self.state, metrics = self._step_fn(
+                            self.state, self.images_dev)
+                        device_metrics.append(metrics)  # each (K,) stacked
+                        n_steps += min(self.scan_steps, remaining)
+                        remaining -= self.scan_steps
+                        if self._should_stop():
+                            print("Stop file detected — stopping mid-epoch",
+                                  flush=True)
+                            stopped = True
+                            break
+                else:
+                    for batch in self.loader.epoch(epoch):
+                        self.state, metrics = self._step_fn(self.state, batch)
+                        device_metrics.append(
+                            jax.tree_util.tree_map(lambda x: x[None], metrics))
+                        n_steps += 1
+                        if self._should_stop():
+                            print("Stop file detected — stopping mid-epoch",
+                                  flush=True)
+                            stopped = True
+                            break
                 jax.block_until_ready(device_metrics[-1]["g_loss"])
                 if profiling:
                     jax.profiler.stop_trace()
                     print(f"Profiler trace written to {cfg.profile_dir}",
                           flush=True)
                 dt = time.perf_counter() - t_epoch
-                n_steps = bidx + 1
-                # One transfer per metric key (stacked on device), not one per
-                # (key, step) scalar — transfer count matters on tunneled links.
+                # One transfer per metric key (concatenated on device), not
+                # one per (key, step) scalar — transfer count matters on
+                # tunneled links.
                 stacked = jax.device_get(jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(xs), *device_metrics))
+                    lambda *xs: jnp.concatenate(xs), *device_metrics))
                 for g, dfm in zip(stacked["g_loss"], stacked["d_fake_mean"]):
                     self.collapse_detector.update(float(g), float(dfm))
                 avgs = {k: float(np.mean(v)) for k, v in stacked.items()}

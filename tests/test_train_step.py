@@ -112,6 +112,35 @@ def test_data_parallel_matches_single_device(devices):
     np.testing.assert_allclose(w_ref, w_dp, rtol=1e-3, atol=1e-6)
 
 
+def test_resident_multi_step_equals_sequential():
+    """lax.scan of K resident steps must equal K sequential dispatches."""
+    from siggan_tpu.train.train_step import (make_resident_multi_step,
+                                             make_resident_train_step)
+
+    cfg = _cfg()
+    images = jnp.asarray(np.random.RandomState(1)
+                         .rand(64, 64, 64, 1).astype(np.float32) * 2 - 1)
+
+    step_fn, spe = make_resident_train_step(cfg, 64)
+    assert spe == 4
+    step = jax.jit(step_fn)
+    s_seq = create_train_state(cfg)
+    for _ in range(4):
+        s_seq, m_seq = step(s_seq, images)
+
+    multi, _ = make_resident_multi_step(cfg, 64, 4)
+    s_scan, m_scan = jax.jit(multi)(create_train_state(cfg), images)
+
+    assert int(s_scan.step) == int(s_seq.step) == 4
+    assert m_scan["g_loss"].shape == (4,)
+    np.testing.assert_allclose(float(m_scan["g_loss"][-1]),
+                               float(m_seq["g_loss"]), rtol=1e-5)
+    wa = np.asarray(jax.tree_util.tree_leaves(s_seq.g_params)[0])
+    wb = np.asarray(jax.tree_util.tree_leaves(s_scan.g_params)[0])
+    # scan and unrolled programs fuse differently; tiny f32 drift is expected
+    np.testing.assert_allclose(wa, wb, rtol=1e-2, atol=1e-4)
+
+
 def test_eval_generate():
     cfg = _cfg()
     state = create_train_state(cfg)
