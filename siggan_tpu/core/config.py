@@ -85,8 +85,11 @@ class TrainConfig:
     # Numerics: params kept in f32; matmul/conv compute in bf16 on TPU when
     # enabled (MXU-native), losses and BN statistics always f32.
     compute_dtype: str = "bfloat16"
-    # Use fused Pallas kernels for hot blocks where available.
-    use_pallas: bool = True
+    # Use fused Pallas kernels for hot blocks where available. Default OFF:
+    # measured on TPU v5e at 64px the XLA pipeline beats the hand-fused
+    # kernels (see ops/pallas/generator_fwd.py MEASURED VERDICT); flip on for
+    # experiments or larger-shape variants where fusion wins.
+    use_pallas: bool = False
 
     # Cadence (reference: sample_interval=5, checkpoint_interval=10).
     sample_interval: int = 5

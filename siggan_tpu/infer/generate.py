@@ -29,18 +29,28 @@ class GeneratorSession:
     """A loaded generator ready for repeated batched sampling."""
 
     def __init__(self, g_params, g_bn, model_cfg: ModelConfig,
-                 compute_dtype: Optional[str] = "bfloat16"):
+                 compute_dtype: Optional[str] = "bfloat16",
+                 use_pallas: bool = False):
         self.params = g_params
         self.bn = g_bn
         self.cfg = model_cfg
         dt = jnp.dtype(compute_dtype) if compute_dtype else None
 
-        def fwd(z):
-            img, _ = generator.apply_fn(
-                g_params, g_bn, z, model_cfg, train=False, compute_dtype=dt)
-            return img
+        if use_pallas and model_cfg.image_size == 64:
+            # Experimental fused whole-generator kernel (see
+            # ops/pallas/generator_fwd.py for the measured XLA-vs-Pallas
+            # verdict; XLA is the default for a reason).
+            from siggan_tpu.ops.pallas.generator_fwd import (
+                generator_forward, pack_generator)
+            packed = pack_generator(g_params, g_bn, model_cfg)
+            self._fwd = jax.jit(lambda z: generator_forward(packed, z, tile=8))
+        else:
+            def fwd(z):
+                img, _ = generator.apply_fn(
+                    g_params, g_bn, z, model_cfg, train=False, compute_dtype=dt)
+                return img
 
-        self._fwd = jax.jit(fwd)
+            self._fwd = jax.jit(fwd)
 
     def sample(self, n: int, *, seed: int = 42, noise_scale: float = 1.0,
                batch_size: int = 64,
@@ -90,4 +100,5 @@ def load_session(checkpoint_dir: str, which: str | int = "latest",
     from siggan_tpu.ckpt.manager import load_generator
     g_params, g_bn, cfg = load_generator(checkpoint_dir, which)
     return GeneratorSession(g_params, g_bn, cfg.model,
-                            compute_dtype=cfg.compute_dtype)
+                            compute_dtype=cfg.compute_dtype,
+                            use_pallas=cfg.use_pallas)
