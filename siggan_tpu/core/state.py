@@ -63,6 +63,24 @@ def create_train_state(cfg: TrainConfig) -> TrainState:
     )
 
 
+def set_learning_rates(cfg: TrainConfig, g_lr: float | None = None,
+                       d_lr: float | None = None) -> TrainConfig:
+    """Mid-training learning-rate mutation (``vanilla_gan_model.py:562``).
+
+    optax.adam keeps its moments independent of the lr, so rebuilding the
+    transforms from an updated config and continuing with the SAME optimizer
+    state reproduces torch's in-place ``param_group['lr'] = x`` exactly.
+    Usage: ``cfg = set_learning_rates(cfg, g_lr=1e-4)`` then rebuild the
+    (jitted) step with ``make_train_step(cfg)`` and keep the TrainState.
+    """
+    import dataclasses
+    new_optim = dataclasses.replace(
+        cfg.optim,
+        g_lr=cfg.optim.g_lr if g_lr is None else g_lr,
+        d_lr=cfg.optim.d_lr if d_lr is None else d_lr)
+    return cfg.replace(optim=new_optim)
+
+
 def state_summary(state: TrainState, cfg: TrainConfig) -> Dict[str, Any]:
     return {
         "step": int(state.step),

@@ -119,6 +119,31 @@ def create_training_gif(sample_dir: str | Path, path: str | Path,
     return path
 
 
+def save_progress_montage(sample_dir: str | Path, path: str | Path,
+                          max_panels: int = 8) -> Optional[Path]:
+    """Side-by-side strip of evenly-spaced epoch grids with epoch labels —
+    the per-epoch training-progress montage (reference :400)."""
+    files = sorted(Path(sample_dir).glob("epoch_*.png"))
+    if not files:
+        return None
+    if len(files) > max_panels:
+        idx = np.linspace(0, len(files) - 1, max_panels).round().astype(int)
+        files = [files[i] for i in idx]
+    fig, axes = plt.subplots(1, len(files), figsize=(2.2 * len(files), 2.6))
+    if len(files) == 1:
+        axes = [axes]
+    for ax, f in zip(axes, files):
+        ax.imshow(np.asarray(Image.open(f).convert("L")), cmap="gray")
+        ax.set_title(f.stem.replace("epoch_", "epoch "), fontsize=8)
+        ax.axis("off")
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path
+
+
 def plot_run_comparison(runs: Dict[str, List[Dict]], path: str | Path,
                         key: str = "g_loss") -> Optional[Path]:
     """Overlay one metric across multiple runs (reference :349)."""
