@@ -81,11 +81,17 @@ def print_summary(results: Dict[str, Any]) -> None:
     print("EVALUATION SUMMARY")
     print("=" * 60)
     if "fid" in results:
-        verdict = ("excellent" if results["fid"] < 30 else
-                   "good" if results["fid"] < 50 else
-                   "fair" if results["fid"] < 80 else "poor")
-        print(f"FID: {results['fid']:.2f} ({verdict}) "
-              f"[backbone: {results.get('fid_backbone')}]")
+        if results.get("fid_backbone") == "torchvision":
+            verdict = ("excellent" if results["fid"] < 30 else
+                       "good" if results["fid"] < 50 else
+                       "fair" if results["fid"] < 80 else "poor")
+            print(f"FID: {results['fid']:.2f} ({verdict})")
+        else:
+            # random-backbone FID is a RELATIVE metric; the <50-good bands
+            # only apply to torchvision features
+            print(f"FID: {results['fid']:.2f} "
+                  f"[backbone: {results.get('fid_backbone')} — relative "
+                  f"metric, compare against controls, not absolute bands]")
     if "lpips_diversity" in results:
         div = ("diverse" if results["lpips_diversity"] > 0.1 else
                "low diversity — possible mode collapse")

@@ -42,7 +42,18 @@ class FIDScorer:
         return feats[:n]
 
     def fid(self, real: np.ndarray, fake: np.ndarray) -> float:
-        return frechet_distance(self.features(real), self.features(fake))
+        fr, ff = self.features(real), self.features(fake)
+        if self.backbone == "random-init":
+            # Standardize both sets by the REAL set's per-dim stats: a fixed
+            # affine transform (still a valid Frechet metric, 0 for identical
+            # sets) that conditions random features — without it the
+            # random backbone compresses real-vs-fake and real-vs-noise
+            # distances into a narrow band. Values are comparable across
+            # runs of this backbone but NOT against torchvision-FID bands.
+            mu, sd = fr.mean(axis=0), fr.std(axis=0) + 1e-6
+            fr = (fr - mu) / sd
+            ff = (ff - mu) / sd
+        return frechet_distance(fr, ff)
 
 
 def frechet_distance(feat1: np.ndarray, feat2: np.ndarray) -> float:

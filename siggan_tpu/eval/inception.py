@@ -60,9 +60,13 @@ def _avgpool3s1p1(x: jax.Array) -> jax.Array:
 
 
 def _init_bconv(key, kh, kw, cin, cout) -> Dict:
+    # He-scaled: keeps activation variance ~constant through the 17-layer
+    # stack so random-backbone features stay in a sane numeric range (a
+    # fixed std compounds ~5x per layer and overflows the FID covariances).
+    std = (2.0 / (kh * kw * cin)) ** 0.5
     return {
         "w": jax.random.truncated_normal(key, -2, 2, (kh, kw, cin, cout),
-                                         jnp.float32) * 0.1,
+                                         jnp.float32) * std,
         "scale": jnp.ones((cout,)), "offset": jnp.zeros((cout,)),
         "mean": jnp.zeros((cout,)), "var": jnp.ones((cout,)),
     }
