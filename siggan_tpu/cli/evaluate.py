@@ -21,6 +21,10 @@ def parse_arguments(argv=None) -> argparse.Namespace:
     p.add_argument("--n_samples", type=int, default=500)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--seeds", type=int, nargs="+", default=None,
+                   help="multi-seed protocol: evaluate each seed and report "
+                        "mean±std (GAN metrics are seed-sensitive; single-run "
+                        "FID comparisons are noise — SURVEY §7)")
     p.add_argument("--output_dir", type=str, default="./evaluation")
     p.add_argument("--lpips_subset", type=int, default=100)
     p.add_argument("--max_real", type=int, default=None)
@@ -44,10 +48,6 @@ def main(argv=None) -> int:
     from siggan_tpu.infer.generate import load_session
 
     session = load_session(args.checkpoint, which)
-    print(f"Generating {args.n_samples} samples…", flush=True)
-    fake = session.sample(args.n_samples, seed=args.seed,
-                          batch_size=args.batch_size)
-
     real_ds = SignatureDataset(args.data_dir, session.cfg.image_size,
                                max_images=args.max_real)
     real = real_ds.images
@@ -57,15 +57,37 @@ def main(argv=None) -> int:
     if args.inception_weights:
         inception_params = _load_inception_weights(args.inception_weights)
 
-    results = compute_metrics(real, fake, lpips_subset=args.lpips_subset,
+    seeds = args.seeds or [args.seed]
+    per_seed = []
+    for seed in seeds:
+        print(f"Generating {args.n_samples} samples (seed {seed})…", flush=True)
+        fake = session.sample(args.n_samples, seed=seed,
+                              batch_size=args.batch_size)
+        res = compute_metrics(real, fake, lpips_subset=args.lpips_subset,
                               inception_params=inception_params)
+        res["seed"] = seed
+        per_seed.append(res)
+    results = per_seed[0]
+    if len(per_seed) > 1:
+        import numpy as np
+        agg = {}
+        for key in ("fid", "lpips_diversity"):
+            vals = [r[key] for r in per_seed if key in r]
+            if vals:
+                agg[key] = {"mean": float(np.mean(vals)),
+                            "std": float(np.std(vals)),
+                            "per_seed": dict(zip(map(str, seeds), vals))}
+        results = dict(per_seed[0])
+        results["multi_seed"] = agg
+        print("Multi-seed:", {k: f"{v['mean']:.3f}±{v['std']:.3f}"
+                              for k, v in agg.items()})
     contact_sheet(fake[:64], out / "fake_grid.png")
     contact_sheet(real[:64], out / "real_grid.png")
     report = save_evaluation_report(
         results, out / "evaluation_report.json",
         extra={"checkpoint": args.checkpoint, "which": str(which),
                "n_samples": args.n_samples, "n_real": len(real),
-               "seed": args.seed})
+               "seeds": seeds})
     print_summary(results)
     print(f"Report: {report}")
     return 0
