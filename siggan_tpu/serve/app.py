@@ -119,6 +119,7 @@ class AppCore:
         return {
             "count": len(paths),
             "output_dir": str(out_dir),
+            "output_rel": str(out_dir.relative_to(self.workdir)),
             "thumbnails": [_b64_png(img) for img in images[:64]],
             "scores": [float(s) for s in scores] if scores is not None else None,
         }
@@ -197,6 +198,25 @@ class AppCore:
     def train_stop(self) -> Dict[str, Any]:
         return {"stopped": monitor.request_stop(self.workdir)}
 
+    def export_zip(self, rel_dir: str) -> bytes:
+        """ZIP a generation output directory (app…py:617-658 export parity).
+        Only directories under workdir/samples are served."""
+        root = (self.workdir / "samples").resolve()
+        p = (self.workdir / rel_dir).resolve()
+        try:
+            p.relative_to(root)
+        except ValueError:
+            raise PermissionError(f"{rel_dir!r} is outside samples/")
+        if not p.is_dir():
+            raise FileNotFoundError(rel_dir)
+        import io
+        import zipfile
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            for f in sorted(p.glob("*.png")):
+                zf.write(f, f.name)
+        return buf.getvalue()
+
     def runs(self) -> List[Dict[str, Any]]:
         return monitor.list_runs(self.workdir / "runs")
 
@@ -253,6 +273,26 @@ def make_handler(core: AppCore):
                 return
             if path.startswith("/api/preprocess/status/"):
                 self._json(200, core.preprocess_status(path.rsplit("/", 1)[-1]))
+                return
+            if path.startswith("/api/export"):
+                from urllib.parse import parse_qs, urlparse
+                q = parse_qs(urlparse(self.path).query)
+                rel = (q.get("dir") or [""])[0]
+                try:
+                    payload = core.export_zip(rel)
+                except PermissionError as e:
+                    self._json(403, {"detail": str(e)})
+                    return
+                except FileNotFoundError as e:
+                    self._json(404, {"detail": f"not found: {e}"})
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "application/zip")
+                self.send_header("Content-Disposition",
+                                 "attachment; filename=signatures.zip")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
                 return
             fn = routes_get.get(path)
             if fn is None:

@@ -114,3 +114,21 @@ def test_train_start_rejects_double_start(tmp_path, monkeypatch):
         "log_file": "l"})
     out = core.train_start({"data_dir": "x"})
     assert "error" in out and "already active" in out["error"]
+
+
+def test_export_zip_trust_and_content(tmp_path):
+    from PIL import Image
+    core = AppCore(tmp_path)
+    gen = tmp_path / "samples" / "gen_x"
+    gen.mkdir(parents=True)
+    Image.fromarray(np.zeros((8, 8), np.uint8)).save(gen / "a.png")
+    payload = core.export_zip("samples/gen_x")
+    import io
+    import zipfile
+    assert zipfile.ZipFile(io.BytesIO(payload)).namelist() == ["a.png"]
+    with pytest.raises(PermissionError):
+        core.export_zip("../etc")
+    with pytest.raises(PermissionError):
+        core.export_zip("runs")  # outside samples/
+    with pytest.raises(FileNotFoundError):
+        core.export_zip("samples/nope")
