@@ -43,7 +43,20 @@ class GeneratorSession:
             from siggan_tpu.ops.pallas.generator_fwd import (
                 generator_forward, pack_generator)
             packed = pack_generator(g_params, g_bn, model_cfg)
-            self._fwd = jax.jit(lambda z: generator_forward(packed, z, tile=8))
+            tile = 8
+            raw = jax.jit(lambda z: generator_forward(packed, z, tile=tile))
+
+            def fwd(z):
+                # The kernel requires batch % tile == 0; pad odd batches
+                # (e.g. interpolate's `steps`-sized ones) and slice back.
+                n = z.shape[0]
+                pad = (-n) % tile
+                if pad:
+                    z = jnp.concatenate(
+                        [z, jnp.zeros((pad,) + z.shape[1:], z.dtype)], axis=0)
+                return raw(z)[:n]
+
+            self._fwd = fwd
         else:
             def fwd(z):
                 img, _ = generator.apply_fn(

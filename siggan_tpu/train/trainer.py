@@ -122,6 +122,10 @@ class GANTrainer:
         cfg = self.cfg
         epochs = epochs if epochs is not None else cfg.epochs
         stopped = False
+        # Bound before any interruptible work: a KeyboardInterrupt during the
+        # initial sample grid must still reach the except-handler's
+        # _save_checkpoint with a valid epoch.
+        epoch = self.start_epoch
         try:
             if self.start_epoch == 0:
                 self._sample_grid(0)
