@@ -83,7 +83,8 @@ def build_config(args: argparse.Namespace):
 
 
 def main(argv=None) -> int:
-    from siggan_tpu.core.platform import setup
+    from siggan_tpu.core.platform import init_distributed, setup
+    init_distributed()  # multi-host when SIGGAN_COORDINATOR/NUM_PROCS set
     setup()
     args = parse_arguments(argv)
     cfg = build_config(args)

@@ -43,6 +43,41 @@ def setup(cache_dir: str | None = None) -> None:
     _done = True
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> bool:
+    """Multi-host entry point (SURVEY §2.2 comm-backend plan).
+
+    Wraps ``jax.distributed.initialize`` so every CLI can join a multi-host
+    job. Parameters fall back to the environment
+    (``SIGGAN_COORDINATOR``, ``SIGGAN_NUM_PROCS``, ``SIGGAN_PROC_ID``) and,
+    when neither is present, to JAX's own auto-detection on TPU pods (where
+    ``initialize()`` needs no arguments). Returns True when a multi-process
+    runtime was initialized, False for the common single-process case.
+
+    Call BEFORE any other jax API (backend init is one-shot). After this,
+    ``jax.devices()`` is the GLOBAL device list and the standard mesh/GSPMD
+    path in ``parallel/mesh.py`` spans hosts; gradients/BN stats reduce over
+    ICI within a slice and DCN across slices with no code changes.
+    """
+    import jax
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "SIGGAN_COORDINATOR")
+    if num_processes is None and os.environ.get("SIGGAN_NUM_PROCS"):
+        num_processes = int(os.environ["SIGGAN_NUM_PROCS"])
+    if process_id is None and os.environ.get("SIGGAN_PROC_ID"):
+        process_id = int(os.environ["SIGGAN_PROC_ID"])
+
+    if coordinator_address is None and num_processes is None:
+        return False  # single-process run (the default everywhere)
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
+    return jax.process_count() > 1
+
+
 def device_info() -> dict:
     import jax
 

@@ -38,10 +38,24 @@ class BatchLoader:
         self.prefetch = max(1, prefetch)
         self.sharding = (NamedSharding(mesh, P(data_axis))
                          if mesh is not None else None)
+        # Multi-host: `images` is THIS PROCESS's shard of the dataset and
+        # `batch_size` stays the GLOBAL batch; each process contributes
+        # batch_size/process_count rows per step (per-host input sharding,
+        # SURVEY §2.2). Requires a mesh (the global batch must have a
+        # sharding to assemble into).
+        self.n_proc = jax.process_count()
+        if self.n_proc > 1:
+            if self.sharding is None:
+                raise ValueError("multi-process BatchLoader requires a mesh")
+            if batch_size % self.n_proc:
+                raise ValueError(
+                    f"global batch {batch_size} not divisible by "
+                    f"{self.n_proc} processes")
+        self.local_bs = batch_size // self.n_proc
 
     def __len__(self) -> int:
-        n = len(self.images) // self.batch_size
-        if not self.drop_last and len(self.images) % self.batch_size:
+        n = len(self.images) // self.local_bs
+        if not self.drop_last and len(self.images) % self.local_bs:
             n += 1
         return n
 
@@ -56,10 +70,12 @@ class BatchLoader:
 
         def host_batches():
             for b in range(steps):
-                sel = order[b * self.batch_size:(b + 1) * self.batch_size]
+                sel = order[b * self.local_bs:(b + 1) * self.local_bs]
                 yield self.images[sel]
 
         def put(x: np.ndarray) -> jax.Array:
+            if self.n_proc > 1:
+                return jax.make_array_from_process_local_data(self.sharding, x)
             if self.sharding is not None:
                 return jax.device_put(x, self.sharding)
             return jax.device_put(x)

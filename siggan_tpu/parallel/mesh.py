@@ -53,6 +53,20 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), tree)
 
 
+def shard_host_local(mesh: Mesh, local, data_axis: str = "data"):
+    """Per-process input sharding (multi-host): each process supplies ITS OWN
+    slice of a globally batch-sharded array; the result is one global
+    jax.Array whose addressable shards are exactly this host's data (no
+    cross-host data movement). Single-process: identical to ``shard_batch``.
+    """
+    s = batch_sharding(mesh, data_axis)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), local)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+        local)
+
+
 def local_batch_size(global_batch: int, mesh: Mesh, data_axis: str = "data") -> int:
     n = mesh.shape[data_axis]
     if global_batch % n != 0:

@@ -57,12 +57,24 @@ class GANTrainer:
         if self.resident:
             # Whole dataset to HBM once; batches are gathered on device and
             # scan_steps train steps run per dispatch (device-side loop).
-            self.images_dev = (jax.device_put(images, batch_sharding)
-                               if batch_sharding else jax.device_put(images))
-            spe = len(images) // cfg.batch_size
+            # Multi-host: `images` is this process's shard; the resident
+            # array is assembled per-host-local into one global jax.Array
+            # and the in-step gather's collectives ride ICI.
+            n_proc = jax.process_count()
+            n_global = len(images) * n_proc
+            if n_proc > 1:
+                from siggan_tpu.parallel.mesh import shard_host_local
+                if self.mesh is None:
+                    raise ValueError("multi-process training requires a mesh")
+                self.images_dev = shard_host_local(
+                    self.mesh, images, cfg.mesh.data_axis)
+            else:
+                self.images_dev = (jax.device_put(images, batch_sharding)
+                                   if batch_sharding else jax.device_put(images))
+            spe = n_global // cfg.batch_size
             self.scan_steps = cfg.scan_steps or max(1, min(spe, 32))
             step_fn, self.steps_per_epoch = make_resident_multi_step(
-                cfg, len(images), self.scan_steps)
+                cfg, n_global, self.scan_steps)
             self.loader = None
         else:
             self.loader = BatchLoader(
