@@ -21,6 +21,16 @@ import jax  # noqa: E402
 # config.update is authoritative (must run before first backend init).
 jax.config.update("jax_platforms", "cpu")
 
+# Host-local persistent compilation cache: XLA compiles dominate the suite's
+# wall time; warm reruns drop from minutes to seconds. CPU backend only (the
+# TPU cache pathology documented in core/platform.py) and rooted next to the
+# suite so it is compiled on THIS machine.
+_cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import pytest  # noqa: E402
 
 

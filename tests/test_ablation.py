@@ -1,6 +1,7 @@
 """Ablation harness: grid construction, short names, one tiny run."""
 
 import numpy as np
+import pytest
 
 from siggan_tpu.train.ablation import (AblationConfig, AblationStudyManager,
                                        make_ablation_train_step)
@@ -20,6 +21,7 @@ def test_grid_size(tmp_path):
     assert [c.short_name for c in small] == ["z8_relu_sn0", "z8_relu_sn1"]
 
 
+@pytest.mark.slow
 def test_ablation_run_tiny(tmp_path):
     rs = np.random.RandomState(0)
     images = (rs.rand(32, 64, 64, 1) * 2 - 1).astype(np.float32)

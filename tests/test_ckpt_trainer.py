@@ -73,6 +73,7 @@ def test_load_generator_and_arch_inference(tmp_path):
     assert arch == {"latent_dim": 8, "image_size": 64, "base_features": 16}
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end_with_resume_and_stop(tmp_path):
     cfg = _cfg(tmp_path)
     stop_file = tmp_path / "STOP"
@@ -98,6 +99,7 @@ def test_trainer_end_to_end_with_resume_and_stop(tmp_path):
     assert len(tr3.logger.metrics) == 0  # stopped before first epoch
 
 
+@pytest.mark.slow
 def test_trainer_on_mesh(tmp_path, devices):
     cfg = _cfg(tmp_path, batch_size=16)
     tr = GANTrainer(cfg, _images(32), use_mesh=True)
@@ -107,6 +109,7 @@ def test_trainer_on_mesh(tmp_path, devices):
     assert np.isfinite(summary["g_loss"]["last"])
 
 
+@pytest.mark.slow
 def test_logger_outputs(tmp_path):
     cfg = _cfg(tmp_path)
     tr = GANTrainer(cfg, _images(), use_mesh=False)

@@ -17,6 +17,7 @@ def incep_params():
     return inception.init_params(seed=0)
 
 
+@pytest.mark.slow
 def test_inception_structure(incep_params):
     """The port must produce 2048-d pooled features from 299x299x3 input —
     the same tensor contract as torchvision's inception_v3 with fc=Identity."""
@@ -33,6 +34,7 @@ def test_prepare_images_replicates_and_resizes():
     assert y.shape == (3, 299, 299, 3)
 
 
+@pytest.mark.slow
 def test_fid_identical_sets_is_zero(incep_params):
     rs = np.random.RandomState(0)
     imgs = (rs.rand(16, 64, 64, 1) * 2 - 1).astype(np.float32)
@@ -43,6 +45,7 @@ def test_fid_identical_sets_is_zero(incep_params):
     assert abs(frechet_distance(f, f)) < 1e-3
 
 
+@pytest.mark.slow
 def test_fid_discriminates_distributions(incep_params):
     """FID(same distribution) must be far below FID(different distribution) —
     the property that makes random-backbone FID a usable relative metric."""
@@ -61,6 +64,7 @@ def test_fid_discriminates_distributions(incep_params):
     assert fid_far > 3 * fid_close, (fid_close, fid_far)
 
 
+@pytest.mark.slow
 def test_lpips_identical_is_zero_and_diversity_orders():
     params = lpips_mod.init_params(seed=0)
     rs = np.random.RandomState(0)
@@ -96,6 +100,7 @@ def test_metrics_tracker():
     assert t.get_last("loss") == 2.0
 
 
+@pytest.mark.slow
 def test_compute_metrics_graceful_failure(monkeypatch):
     """A broken metric must be captured, not fatal (evaluate…py:264-325)."""
     from siggan_tpu.eval import evaluate as ev

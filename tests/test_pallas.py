@@ -56,6 +56,7 @@ def test_fold_bn_affine_matches_batch_norm_eval():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_generator_forward_matches_xla():
     """The whole-network kernel must equal the XLA eval forward."""
     cfg = TrainConfig(compute_dtype="float32")  # full 64px architecture

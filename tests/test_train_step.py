@@ -44,6 +44,7 @@ def test_train_step_runs_and_updates():
     assert not jnp.allclose(g0, g1)
 
 
+@pytest.mark.slow
 def test_train_step_determinism():
     cfg = _cfg()
     state = create_train_state(cfg)
@@ -55,6 +56,7 @@ def test_train_step_determinism():
     assert jnp.allclose(m1["g_loss"], m2["g_loss"])
 
 
+@pytest.mark.slow
 def test_n_critic_and_grad_clip():
     cfg = _cfg(n_critic=2).replace(
         optim=_cfg().optim.__class__(gradient_clip_value=1.0))
@@ -65,6 +67,7 @@ def test_n_critic_and_grad_clip():
     assert jnp.isfinite(metrics["d_loss"])
 
 
+@pytest.mark.slow
 def test_discriminator_learns_separable_data():
     """After a few steps on strongly-structured 'real' data, D should score
     real above fake (the same sanity the reference's __main__ blocks eyeball)."""
@@ -78,6 +81,7 @@ def test_discriminator_learns_separable_data():
     assert float(metrics["d_real_mean"]) > float(metrics["d_fake_mean"])
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single_device(devices):
     cfg = _cfg()
     mesh = make_mesh(MeshConfig(), devices)
@@ -112,6 +116,7 @@ def test_data_parallel_matches_single_device(devices):
     np.testing.assert_allclose(w_ref, w_dp, rtol=1e-3, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_resident_multi_step_equals_sequential():
     """lax.scan of K resident steps must equal K sequential dispatches."""
     from siggan_tpu.train.train_step import (make_resident_multi_step,

@@ -113,6 +113,7 @@ def test_verification_metrics_formulas():
     assert abs(eer - m["eer"]) < 1e-9
 
 
+@pytest.mark.slow
 def test_verifier_learns_separable_pairs(user_dirs):
     ds = PairDataset(user_dirs, pairs_per_user=16, seed=0)
     assert ds.summary()["users"] == 4
@@ -125,6 +126,7 @@ def test_verifier_learns_separable_pairs(user_dirs):
     assert max(accs) >= 0.9, accs
 
 
+@pytest.mark.slow
 def test_save_load_roundtrip(user_dirs, tmp_path):
     ds = PairDataset(user_dirs, pairs_per_user=4, seed=0)
     train_data, val_data = ds.split(0.25, seed=0)
