@@ -85,6 +85,11 @@ class TrainConfig:
     # Numerics: params kept in f32; matmul/conv compute in bf16 on TPU when
     # enabled (MXU-native), losses and BN statistics always f32.
     compute_dtype: str = "bfloat16"
+    # Per-step gradient-norm metrics (d_grad_norm/g_grad_norm). These are an
+    # addition over the reference's metric set and cost full extra reads of
+    # every gradient tensor each step (~0.05 ms at 64px/b64); off by default,
+    # flip on when debugging training dynamics.
+    log_grad_norms: bool = False
     # Use fused Pallas kernels for hot blocks where available. Default OFF:
     # measured on TPU v5e at 64px the XLA pipeline beats the hand-fused
     # kernels (see ops/pallas/generator_fwd.py MEASURED VERDICT); flip on for

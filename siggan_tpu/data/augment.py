@@ -27,7 +27,8 @@ def _tri(d: jax.Array) -> jax.Array:
     return jnp.maximum(0.0, 1.0 - jnp.abs(d))
 
 
-def _affine_warp_twopass(imgs: jax.Array, mats: jax.Array, fill: float) -> jax.Array:
+def _affine_warp_twopass(imgs: jax.Array, mats: jax.Array, fill: float,
+                         dtype=None) -> jax.Array:
     """Batched inverse-map bilinear affine warp as two dense contractions.
 
     TPU rationale: a gather-based bilinear warp serializes on the VPU
@@ -39,8 +40,14 @@ def _affine_warp_twopass(imgs: jax.Array, mats: jax.Array, fill: float) -> jax.A
     (torchvision convention). Out-of-source samples blend to ``fill`` via the
     weight-sum deficit. Requires |A| = |mat[0,0]| bounded away from 0 (true
     for small-angle rotation + scale + flip augmentation).
+
+    ``dtype``: storage dtype for the dense triangle-weight tensors (the
+    (N,H,H,W)-sized intermediates dominate the warp's HBM traffic — bf16
+    halves it; contractions still accumulate in f32 via
+    ``preferred_element_type``). None keeps everything f32.
     """
     n, h, w, c = imgs.shape
+    wdt = jnp.dtype(dtype) if dtype is not None else imgs.dtype
     cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
     # Raw-coordinate affine: sx = A j + B i + C ; sy = D j + E i + F.
     A = mats[:, 0, 0]
@@ -57,18 +64,20 @@ def _affine_warp_twopass(imgs: jax.Array, mats: jax.Array, fill: float) -> jax.A
     alpha = E - D * B / A                       # (N,)
     beta = (D / A)[:, None] * jj[None, :] + (F - D * C / A)[:, None]  # (N, W)
     sy = alpha[:, None, None] * ii[None, :, None] + beta[:, None, :]  # (N, H, W)
-    wv = _tri(sy[:, :, None, :] - ii[None, None, :, None])            # (N, H, y, x)
-    tmp = jnp.einsum("niyx,nyxc->nixc", wv, imgs)
-    vsum = jnp.sum(wv, axis=2)                                         # (N, H, x)
+    wv = _tri(sy[:, :, None, :] - ii[None, None, :, None]).astype(wdt)  # (N, H, y, x)
+    tmp = jnp.einsum("niyx,nyxc->nixc", wv, imgs.astype(wdt),
+                     preferred_element_type=jnp.float32)
+    vsum = jnp.sum(wv.astype(jnp.float32), axis=2)                     # (N, H, x)
     tmp = tmp + (1.0 - vsum)[..., None] * fill
 
     # Pass H: sample columns at A*j + B*i + C.
     sx = (A[:, None, None] * jj[None, None, :]
           + B[:, None, None] * ii[None, :, None] + C[:, None, None])  # (N, H, j)
-    wh = _tri(sx[:, :, None, :] - jj[None, None, :, None])             # (N, H, x, j)
-    out = jnp.einsum("nixj,nixc->nijc", wh, tmp)
-    hsum = jnp.sum(wh, axis=2)                                         # (N, H, j)
-    return out + (1.0 - hsum)[..., None] * fill
+    wh = _tri(sx[:, :, None, :] - jj[None, None, :, None]).astype(wdt)  # (N, H, x, j)
+    out = jnp.einsum("nixj,nixc->nijc", wh, tmp.astype(wdt),
+                     preferred_element_type=jnp.float32)
+    hsum = jnp.sum(wh.astype(jnp.float32), axis=2)                     # (N, H, j)
+    return (out + (1.0 - hsum)[..., None] * fill).astype(imgs.dtype)
 
 
 def augment_batch_inner(
@@ -80,6 +89,7 @@ def augment_batch_inner(
     scale_hi: float = 1.1,
     hflip: bool = False,
     enabled: bool = True,
+    dtype=None,
 ) -> jax.Array:
     """Traceable body — call this INSIDE an enclosing jit (e.g. the train
     step) so augmentation costs zero extra dispatches; ``augment_batch``
@@ -107,11 +117,11 @@ def augment_batch_inner(
         jnp.stack([sgn * sin * inv_s, cos * inv_s, jnp.zeros_like(cos)], -1),
     ], axis=1)  # (N, 2, 3)
 
-    return _affine_warp_twopass(batch, mats, fill=1.0)
+    return _affine_warp_twopass(batch, mats, fill=1.0, dtype=dtype)
 
 
 augment_batch = partial(jax.jit, static_argnames=(
-    "rotation_degrees", "hflip", "enabled"))(augment_batch_inner)
+    "rotation_degrees", "hflip", "enabled", "dtype"))(augment_batch_inner)
 
 
 def augment_key(seed: int, step: int) -> jax.Array:

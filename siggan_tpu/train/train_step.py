@@ -97,8 +97,9 @@ def d_step(
         "d_fake_mean": jnp.mean(p_fake),
         "d_acc_real": jnp.mean((p_real > 0.5).astype(jnp.float32)),
         "d_acc_fake": jnp.mean((p_fake < 0.5).astype(jnp.float32)),
-        "d_grad_norm": optax.global_norm(grads),
     }
+    if cfg.log_grad_norms:
+        metrics["d_grad_norm"] = optax.global_norm(grads)
     metrics["d_accuracy"] = 0.5 * (metrics["d_acc_real"] + metrics["d_acc_fake"])
     new_state = state.replace(
         g_bn=g_bn, d_params=d_params, d_state=d_state, d_opt=d_opt)
@@ -129,8 +130,9 @@ def g_step(
     metrics = {
         "g_loss": loss,
         "d_on_g_mean": jnp.mean(jax.nn.sigmoid(logits)),
-        "g_grad_norm": optax.global_norm(grads),
     }
+    if cfg.log_grad_norms:
+        metrics["g_grad_norm"] = optax.global_norm(grads)
     new_state = state.replace(
         g_params=g_params, g_bn=g_bn, d_state=d_state, g_opt=g_opt)
     return new_state, metrics
@@ -156,7 +158,8 @@ def make_train_step(cfg: TrainConfig):
             # with the optimizer tail of the previous step.
             from siggan_tpu.data.augment import augment_batch_inner
             real = augment_batch_inner(
-                real, rnglib.at_step(aug_stream, state.step), hflip=cfg.hflip)
+                real, rnglib.at_step(aug_stream, state.step), hflip=cfg.hflip,
+                dtype=_dtype(cfg))
         nk = rnglib.at_step(noise_stream, state.step)
         dk = rnglib.at_step(drop_stream, state.step)
         nkeys = jax.random.split(nk, cfg.n_critic + 1)
