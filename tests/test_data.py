@@ -78,3 +78,28 @@ def test_augment_deterministic_per_step():
     c = augment_batch(batch, augment_key(0, 6))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_banded_warp_equals_dense():
+    """The banded slice-tap warp must be numerically identical to the dense
+    two-pass contraction it replaces (the band bound makes every skipped tap
+    exactly zero-weight)."""
+    import jax.numpy as jnp
+
+    from siggan_tpu.data.augment import (_affine_warp_banded,
+                                         _affine_warp_twopass, _band_radii)
+
+    rs = np.random.RandomState(0)
+    for h, w in [(64, 64), (32, 48)]:
+        imgs = jnp.asarray((rs.rand(6, h, w, 1) * 2 - 1).astype(np.float32))
+        theta = rs.uniform(-5, 5, 6) * np.pi / 180
+        scale = rs.uniform(0.9, 1.1, 6)
+        cos, sin, inv_s = np.cos(theta), np.sin(theta), 1 / scale
+        mats = jnp.asarray(np.stack([
+            np.stack([cos * inv_s, -sin * inv_s, np.zeros(6)], -1),
+            np.stack([sin * inv_s, cos * inv_s, np.zeros(6)], -1),
+        ], axis=1).astype(np.float32))
+        bv, bh = _band_radii(h, w, 5.0, 0.9, 1.1)
+        dense = np.asarray(_affine_warp_twopass(imgs, mats, 1.0))
+        band = np.asarray(_affine_warp_banded(imgs, mats, 1.0, bv, bh))
+        np.testing.assert_allclose(band, dense, atol=1e-5)
