@@ -90,6 +90,12 @@ class TrainConfig:
     # every gradient tensor each step (~0.05 ms at 64px/b64); off by default,
     # flip on when debugging training dynamics.
     log_grad_norms: bool = False
+    # Train with images in 2x2 space-to-depth form (N,H/2,W/2,4), folding the
+    # repack into G's final / D's first conv — mathematically exact (see
+    # ops/packed.py) and removes every C=1 tensor from the hot graph, which
+    # TPU layouts handle at ~1/16 utilization. Applies only to 1-channel
+    # models; flip off to debug against the canonical pixel-space graph.
+    packed_io: bool = True
     # Use fused Pallas kernels for hot blocks where available. Default OFF:
     # measured on TPU v5e at 64px the XLA pipeline beats the hand-fused
     # kernels (see ops/pallas/generator_fwd.py MEASURED VERDICT); flip on for

@@ -61,7 +61,7 @@ class GeneratorSession:
             def fwd(z):
                 img, _ = generator.apply_fn(
                     g_params, g_bn, z, model_cfg, train=False, compute_dtype=dt)
-                return img
+                return img.astype(jnp.float32)
 
             self._fwd = jax.jit(fwd)
 

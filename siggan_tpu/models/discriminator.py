@@ -73,10 +73,15 @@ def apply_fn(
     rng: jax.Array | None = None,
     compute_dtype=None,
     features: bool = False,
+    packed_input: bool = False,
 ) -> Tuple[jax.Array, State]:
     """x: (N,H,W,C) -> logits (N, 1) (or flattened features if features=True).
 
     ``rng`` is required when ``train=True`` and dropout > 0.
+
+    ``packed_input=True`` takes x in 2x2 space-to-depth form (N, H/2, W/2, 4)
+    and folds the unpacking into the first conv (exact; see ops/packed.py).
+    Spectral norm still normalizes the canonical (4,4,1,Co) weight first.
     """
     if train and cfg.dropout > 0 and rng is None:
         raise ValueError("training discriminator forward requires a dropout rng")
@@ -91,7 +96,14 @@ def apply_fn(
         else:
             bs = state["blocks"][i]
         new_state["blocks"].append(bs)
-        h = conv2d(h, w, p["b"], stride=2, padding=1, compute_dtype=compute_dtype)
+        if packed_input and i == 0:
+            if cfg.image_channels != 1:
+                raise ValueError("packed_input requires 1-channel images")
+            from siggan_tpu.ops.packed import pack_first_conv_kernel
+            h = conv2d(h, pack_first_conv_kernel(w), p["b"], stride=1,
+                       padding=1, compute_dtype=compute_dtype)
+        else:
+            h = conv2d(h, w, p["b"], stride=2, padding=1, compute_dtype=compute_dtype)
         h = jax.nn.leaky_relu(h, cfg.leaky_slope)
         if train and cfg.dropout > 0:
             rng, sub = jax.random.split(rng)

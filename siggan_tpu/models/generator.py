@@ -93,8 +93,15 @@ def apply_fn(
     *,
     train: bool,
     compute_dtype=None,
+    packed_output: bool = False,
 ) -> Tuple[jax.Array, State]:
-    """z: (N, latent_dim) -> image (N, H, W, C) in [-1, 1]; returns new BN state."""
+    """z: (N, latent_dim) -> image (N, H, W, C) in [-1, 1]; returns new BN state.
+
+    ``packed_output=True`` (train path, 1-channel models only) emits the image
+    in 2x2 space-to-depth form (N, H/2, W/2, 4) by folding the repack into the
+    final conv — exactly ``space_to_depth(image)``, but no C=1 tensor is ever
+    materialized (see ops/packed.py for why that matters on TPU).
+    """
     c0, blocks = channel_schedule(cfg)
     new_state: State = {"blocks": []}
 
@@ -114,9 +121,22 @@ def apply_fn(
         new_state["blocks"].append(bs)
         h = _act(h, cfg)
 
-    img = conv2d(h, params["final"]["w"], params["final"]["b"],
-                 stride=1, padding=1, compute_dtype=compute_dtype)
-    return jnp.tanh(img.astype(jnp.float32)), new_state
+    if packed_output:
+        if cfg.image_channels != 1:
+            raise ValueError("packed_output requires 1-channel images")
+        from siggan_tpu.ops.packed import pack_final_conv_kernel
+        wp = pack_final_conv_kernel(params["final"]["w"])
+        bp = jnp.broadcast_to(params["final"]["b"], (4,))
+        img = conv2d(h, wp, bp, stride=2, padding=1,
+                     compute_dtype=compute_dtype)
+    else:
+        img = conv2d(h, params["final"]["w"], params["final"]["b"],
+                     stride=1, padding=1, compute_dtype=compute_dtype)
+    # tanh stays in the compute dtype: under bf16 the image tensor would
+    # otherwise round-trip through f32 on every G forward (~120 us/step of
+    # pure layout/convert work on C=1 tensors at 64px/b64). Callers that
+    # need f32 images (PNG export, eval) cast at the boundary.
+    return jnp.tanh(img), new_state
 
 
 def generate_latent(key: jax.Array, n: int, cfg: ModelConfig, scale: float = 1.0) -> jax.Array:

@@ -63,6 +63,11 @@ def batch_norm(
     else:
         mean, var = state["mean"], state["var"]
         new_state = state
-    inv = jax.lax.rsqrt(var + eps)
-    y = (xf - mean) * (inv * scale.astype(jnp.float32)) + offset.astype(jnp.float32)
-    return y.astype(x.dtype), new_state
+    # Fold normalization into one per-channel affine computed in f32, applied
+    # in x's own dtype: y = x*a + b with a = scale/sqrt(var+eps),
+    # b = offset - mean*a. Under bf16 this halves the normalize traffic (no
+    # f32 round-trip of the full activation); statistics above stay f32.
+    a = scale.astype(jnp.float32) * jax.lax.rsqrt(var + eps)
+    b = offset.astype(jnp.float32) - mean * a
+    y = x * a.astype(x.dtype) + b.astype(x.dtype)
+    return y, new_state

@@ -57,17 +57,27 @@ def _dtype(cfg: TrainConfig):
     return jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
 
 
+def _packed(cfg: TrainConfig) -> bool:
+    return (cfg.packed_io and cfg.model.image_channels == 1
+            and cfg.model.image_size % 2 == 0)
+
+
 def d_step(
     state: TrainState, real: jax.Array, noise_key: jax.Array,
     drop_key: jax.Array, cfg: TrainConfig, d_tx,
 ) -> Tuple[TrainState, Metrics]:
     """One discriminator update on a real batch + freshly generated fakes."""
     cdt = _dtype(cfg)
+    packed = _packed(cfg)
     b = real.shape[0]
     z = generator.generate_latent(noise_key, b, cfg.model)
     fake, g_bn = generator.apply_fn(
-        state.g_params, state.g_bn, z, cfg.model, train=True, compute_dtype=cdt)
+        state.g_params, state.g_bn, z, cfg.model, train=True,
+        compute_dtype=cdt, packed_output=packed)
     fake = jax.lax.stop_gradient(fake)
+    if packed:
+        from siggan_tpu.ops.packed import space_to_depth
+        real = space_to_depth(real)
 
     # One concatenated D forward over [real; fake] instead of two: exactly
     # equivalent for this architecture (no BatchNorm in D, dropout masks are
@@ -80,7 +90,7 @@ def d_step(
     def loss_fn(d_params):
         logits, d_state = discriminator.apply_fn(
             d_params, state.d_state, both, cfg.model,
-            train=True, rng=drop_key, compute_dtype=cdt)
+            train=True, rng=drop_key, compute_dtype=cdt, packed_input=packed)
         logits_r, logits_f = logits[:b], logits[b:]
         loss = _bce_mean(logits_r, cfg.label_smoothing) + _bce_mean(logits_f, 0.0)
         return loss, (d_state, logits_r, logits_f)
@@ -112,14 +122,16 @@ def g_step(
 ) -> Tuple[TrainState, Metrics]:
     """One generator update (non-saturating loss through a train-mode D)."""
     cdt = _dtype(cfg)
+    packed = _packed(cfg)
     z = generator.generate_latent(noise_key, batch_size, cfg.model)
 
     def loss_fn(g_params):
         fake, g_bn = generator.apply_fn(
-            g_params, state.g_bn, z, cfg.model, train=True, compute_dtype=cdt)
+            g_params, state.g_bn, z, cfg.model, train=True,
+            compute_dtype=cdt, packed_output=packed)
         logits, d_state = discriminator.apply_fn(
             state.d_params, state.d_state, fake, cfg.model,
-            train=True, rng=drop_key, compute_dtype=cdt)
+            train=True, rng=drop_key, compute_dtype=cdt, packed_input=packed)
         return _bce_mean(logits, 1.0), (g_bn, d_state, logits)
 
     (loss, (g_bn, d_state, logits)), grads = jax.value_and_grad(
@@ -237,5 +249,5 @@ def make_eval_generate(cfg: TrainConfig):
         img, _ = generator.apply_fn(
             state.g_params, state.g_bn, z, cfg.model,
             train=False, compute_dtype=_dtype(cfg))
-        return img
+        return img.astype(jnp.float32)
     return generate

@@ -1,0 +1,105 @@
+"""Space-to-depth packed training I/O must be EXACTLY the canonical math
+(ops/packed.py): the embedded kernels are pure re-indexings of the canonical
+weights, so packed and pixel-space graphs may differ only by float
+reassociation inside the convs."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from siggan_tpu.core.config import ModelConfig, TrainConfig
+from siggan_tpu.models import discriminator, generator
+from siggan_tpu.ops.conv import conv2d
+from siggan_tpu.ops.packed import (depth_to_space, pack_final_conv_kernel,
+                                   pack_first_conv_kernel, space_to_depth)
+
+
+def test_space_to_depth_roundtrip():
+    x = jnp.arange(2 * 8 * 8 * 1, dtype=jnp.float32).reshape(2, 8, 8, 1)
+    p = space_to_depth(x)
+    assert p.shape == (2, 4, 4, 4)
+    np.testing.assert_array_equal(np.asarray(depth_to_space(p)), np.asarray(x))
+
+
+def test_packed_final_conv_equals_s2d_of_conv():
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 16, 16, 8).astype(np.float32))
+    w = jnp.asarray(rs.randn(3, 3, 8, 1).astype(np.float32))
+    b = jnp.asarray(rs.randn(1).astype(np.float32))
+    ref = space_to_depth(conv2d(x, w, b, stride=1, padding=1))
+    got = conv2d(x, pack_final_conv_kernel(w), jnp.broadcast_to(b, (4,)),
+                 stride=2, padding=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_first_conv_equals_conv_of_pixels():
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(2, 16, 16, 1).astype(np.float32))
+    w = jnp.asarray(rs.randn(4, 4, 1, 8).astype(np.float32))
+    b = jnp.asarray(rs.randn(8).astype(np.float32))
+    ref = conv2d(x, w, b, stride=2, padding=1)
+    got = conv2d(space_to_depth(x), pack_first_conv_kernel(w), b,
+                 stride=1, padding=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_generator_packed_output_matches():
+    cfg = ModelConfig(image_size=64, base_features=32)
+    params, state = generator.init_fn(jax.random.key(0), cfg)
+    z = jax.random.normal(jax.random.key(1), (4, cfg.latent_dim))
+    img, _ = generator.apply_fn(params, state, z, cfg, train=True)
+    packed, _ = generator.apply_fn(params, state, z, cfg, train=True,
+                                   packed_output=True)
+    np.testing.assert_allclose(np.asarray(depth_to_space(packed)),
+                               np.asarray(img), rtol=1e-5, atol=1e-5)
+
+
+def test_discriminator_packed_input_matches():
+    cfg = ModelConfig(image_size=64, base_features=32, use_spectral_norm=True)
+    params, state = discriminator.init_fn(jax.random.key(0), cfg)
+    x = jax.random.uniform(jax.random.key(1), (4, 64, 64, 1), minval=-1,
+                           maxval=1)
+    ref, st_a = discriminator.apply_fn(params, state, x, cfg, train=False)
+    got, st_b = discriminator.apply_fn(params, state, space_to_depth(x), cfg,
+                                       train=False, packed_input=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # spectral-norm power iteration advanced identically (canonical weights)
+    for a, b in zip(jax.tree_util.tree_leaves(st_a),
+                    jax.tree_util.tree_leaves(st_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+def test_train_step_packed_equals_pixel_space():
+    """Full fused step: packed_io on vs off must produce the same losses,
+    params, and BN state (f32, CPU) up to conv reassociation noise."""
+    from siggan_tpu.core.state import create_train_state
+    from siggan_tpu.train.train_step import make_train_step
+
+    base = TrainConfig(
+        model=ModelConfig(image_size=64, base_features=32),
+        batch_size=8, compute_dtype=None, augment=False)
+    rs = np.random.RandomState(0)
+    batch = jnp.asarray((rs.rand(8, 64, 64, 1) * 2 - 1).astype(np.float32))
+
+    outs = {}
+    for packed in (False, True):
+        cfg = dataclasses.replace(base, packed_io=packed)
+        state = create_train_state(cfg)
+        step = jax.jit(make_train_step(cfg))
+        for _ in range(3):
+            state, metrics = step(state, batch)
+        outs[packed] = (state, metrics)
+
+    for key in ("d_loss", "g_loss", "d_real_mean", "d_fake_mean"):
+        np.testing.assert_allclose(float(outs[False][1][key]),
+                                   float(outs[True][1][key]),
+                                   rtol=2e-4, atol=2e-4)
+    ref_leaves = jax.tree_util.tree_leaves(outs[False][0].g_params)
+    got_leaves = jax.tree_util.tree_leaves(outs[True][0].g_params)
+    for a, b in zip(ref_leaves, got_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
