@@ -75,11 +75,25 @@ class CheckpointManager:
 
     # -- save / restore --------------------------------------------------
     def save(self, state: TrainState, *, epoch: int, fixed_noise: jax.Array,
-             g_loss: Optional[float] = None) -> Path:
-        """Save a checkpoint; updates latest and (if g_loss improves) best."""
+             g_loss: Optional[float] = None,
+             fid: Optional[float] = None) -> Path:
+        """Save a checkpoint; updates latest and best.
+
+        "Best" criterion: once any ``fid`` has been recorded, lowest FID wins
+        (a quality signal); otherwise the reference's lowest-G-loss rule
+        (``train_vanilla_gan_signatures.py:598``). best_fid lives in
+        index.json only, so the Orbax tree layout (and old checkpoints)
+        are unchanged.
+        """
         idx = self._read_index()
         best = idx.get("best_g_loss")
-        is_best = g_loss is not None and (best is None or g_loss < best)
+        if fid is not None:
+            best_fid = idx.get("best_fid")
+            is_best = best_fid is None or fid < best_fid
+        elif "best_fid" in idx:
+            is_best = False          # don't mix criteria: FID epochs only
+        else:
+            is_best = g_loss is not None and (best is None or g_loss < best)
         tree = _to_save_tree(
             state, epoch=epoch, fixed_noise=fixed_noise,
             best_g_loss=float(g_loss if is_best else (best if best is not None else np.inf)))
@@ -92,7 +106,10 @@ class CheckpointManager:
         idx["latest"] = epoch
         if is_best:
             idx["best"] = epoch
-            idx["best_g_loss"] = float(g_loss)
+            if fid is not None:
+                idx["best_fid"] = float(fid)
+            else:
+                idx["best_g_loss"] = float(g_loss)
         self._write_index(idx)
         return path
 

@@ -54,6 +54,10 @@ def parse_arguments(argv=None) -> argparse.Namespace:
     p.add_argument("--max_images", type=int, default=None)
     p.add_argument("--profile_dir", type=str, default="",
                    help="capture a jax.profiler trace of one epoch here")
+    p.add_argument("--fid_interval", type=int, default=0,
+                   help="score a relative FID every N epochs; the 'best' "
+                        "checkpoint alias then follows lowest FID (0 = off, "
+                        "reference-faithful best-G-loss)")
     return p.parse_args(argv)
 
 
@@ -78,7 +82,7 @@ def build_config(args: argparse.Namespace):
         checkpoint_interval=args.checkpoint_interval,
         data_dir=args.data_dir, checkpoint_dir=ckpt, sample_dir=sample,
         log_dir=log, augment=not args.no_augment, hflip=args.hflip,
-        profile_dir=args.profile_dir,
+        profile_dir=args.profile_dir, fid_interval=args.fid_interval,
     )
 
 

@@ -107,6 +107,15 @@ class TrainConfig:
     checkpoint_interval: int = 10
     fixed_noise_samples: int = 64
 
+    # Quality-tracked "best" checkpoint. The reference tracks best-G-loss
+    # (train_vanilla_gan_signatures.py:598), but adversarial G loss is not a
+    # quality signal; when fid_interval > 0 the trainer scores a relative FID
+    # (random-backbone InceptionV3, fixed eval noise, vs fid_samples training
+    # reals) every fid_interval epochs and the checkpoint "best" alias
+    # follows lowest FID instead. 0 = off (reference-faithful best-G-loss).
+    fid_interval: int = 0
+    fid_samples: int = 512
+
     # Mode-collapse detector (train_vanilla_gan_signatures.py:104-165).
     mode_collapse_threshold: float = 0.1
     mode_collapse_window: int = 50

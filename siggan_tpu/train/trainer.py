@@ -101,6 +101,29 @@ class GANTrainer:
         self.start_epoch = 0
         self.best_g_loss = float("inf")
 
+        # Quality-tracked best (cfg.fid_interval > 0): fixed real subset +
+        # fixed eval noise so per-epoch FIDs are comparable; the scorer
+        # (random-backbone InceptionV3) is built lazily on first use.
+        self._fid_scorer = None
+        self._last_fid: Optional[tuple] = None   # (epoch, fid)
+        if cfg.fid_interval > 0:
+            rs = np.random.RandomState(cfg.seed)
+            sel = rs.permutation(len(images))[:cfg.fid_samples]
+            self._fid_real = np.asarray(images[sel], np.float32)
+            self._fid_noise = jax.random.normal(
+                rnglib.stream(rnglib.root_key(cfg.seed), rnglib.STREAM_EVAL),
+                (cfg.fid_samples, cfg.model.latent_dim), jnp.float32)
+
+    def _compute_fid(self) -> float:
+        if self._fid_scorer is None:
+            from siggan_tpu.eval.fid import FIDScorer
+            self._fid_scorer = FIDScorer()
+        fakes = []
+        for s in range(0, self.cfg.fid_samples, 256):
+            fakes.append(np.asarray(jax.device_get(
+                self._generate(self.state, self._fid_noise[s:s + 256]))))
+        return self._fid_scorer.fid(self._fid_real, np.concatenate(fakes))
+
     # ------------------------------------------------------------------
     def _should_stop(self) -> bool:
         return self.stop_file is not None and self.stop_file.exists()
@@ -112,8 +135,11 @@ class GANTrainer:
             imgs, Path(self.cfg.sample_dir) / f"epoch_{epoch:04d}.png")
 
     def _save_checkpoint(self, epoch: int, g_loss: float) -> None:
+        # Attach a FID only when it was scored for exactly this epoch's state.
+        fid = self._last_fid[1] if (
+            self._last_fid is not None and self._last_fid[0] == epoch) else None
         self.ckpt.save(self.state, epoch=epoch,
-                       fixed_noise=self.fixed_noise, g_loss=g_loss)
+                       fixed_noise=self.fixed_noise, g_loss=g_loss, fid=fid)
 
     def resume(self, which: str | int = "latest") -> bool:
         out = self.ckpt.restore(which)
@@ -202,6 +228,9 @@ class GANTrainer:
                 avgs = {k: float(np.mean(v)) for k, v in stacked.items()}
                 avgs["images_per_sec"] = cfg.batch_size * n_steps / dt
                 avgs["ms_per_step"] = dt / n_steps * 1000.0
+                if cfg.fid_interval > 0 and (epoch + 1) % cfg.fid_interval == 0:
+                    self._last_fid = (epoch, self._compute_fid())
+                    avgs["fid"] = self._last_fid[1]
                 self.logger.log_metrics(epoch, avgs)
 
                 collapsed, reason = self.collapse_detector.check_collapse()

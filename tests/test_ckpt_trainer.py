@@ -117,3 +117,33 @@ def test_logger_outputs(tmp_path):
     js = json.loads(next((tmp_path / "logs").glob("*.json")).read_text())
     assert js["config"]["batch_size"] == 8
     assert {"d_loss", "g_loss", "images_per_sec"} <= set(js["metrics"][0])
+
+
+def test_fid_best_criterion(tmp_path):
+    """Once any FID is recorded, "best" follows lowest FID, not G loss."""
+    cfg = _cfg(tmp_path)
+    mgr = CheckpointManager(cfg.checkpoint_dir, cfg)
+    state = create_train_state(cfg)
+    noise = jnp.zeros((4, 8), jnp.float32)
+    mgr.save(state, epoch=0, fixed_noise=noise, g_loss=2.0, fid=300.0)
+    mgr.save(state, epoch=1, fixed_noise=noise, g_loss=0.1)   # low loss, no FID
+    idx = mgr.available()
+    assert idx["best"] == 0 and idx["best_fid"] == 300.0      # loss ignored
+    mgr.save(state, epoch=2, fixed_noise=noise, g_loss=5.0, fid=250.0)
+    idx = mgr.available()
+    assert idx["best"] == 2 and idx["best_fid"] == 250.0
+    mgr.save(state, epoch=3, fixed_noise=noise, g_loss=5.0, fid=400.0)
+    assert mgr.available()["best"] == 2
+
+
+def test_trainer_fid_interval(tmp_path, monkeypatch):
+    """fid_interval wires per-epoch FID into logs and the best alias."""
+    cfg = _cfg(tmp_path, fid_interval=1, fid_samples=4)
+    tr = GANTrainer(cfg, _images(), use_mesh=False)
+    fids = iter([500.0, 100.0])
+    monkeypatch.setattr(tr, "_compute_fid", lambda: next(fids))
+    tr.train(epochs=2)
+    logged = [m.get("fid") for m in tr.logger.metrics]
+    assert logged == [500.0, 100.0]
+    idx = tr.ckpt.available()
+    assert idx["best"] == 1 and idx["best_fid"] == 100.0
