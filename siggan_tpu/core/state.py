@@ -43,6 +43,10 @@ def make_optimizers(cfg: TrainConfig):
         tx = [optax.clip_by_global_norm(cfg.optim.gradient_clip_value)] \
             if cfg.optim.gradient_clip_value else []
         tx.append(optax.adam(lr, b1=cfg.optim.beta1, b2=cfg.optim.beta2, eps=1e-8))
+        # NOTE: optax.flatten (one concatenated update vector) was measured
+        # SLOWER here — the per-step ravel/unravel of 3.9M params costs more
+        # than the per-tensor dispatch overhead it removes (35.0k -> 31.2k
+        # img/s at 64px/b64 on v5e).
         return optax.chain(*tx)
     return chain(cfg.optim.g_lr), chain(cfg.optim.d_lr)
 

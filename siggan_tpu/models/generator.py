@@ -97,13 +97,20 @@ def apply_fn(
 ) -> Tuple[jax.Array, State]:
     """z: (N, latent_dim) -> image (N, H, W, C) in [-1, 1]; returns new BN state.
 
-    ``packed_output=True`` (train path, 1-channel models only) emits the image
-    in 2x2 space-to-depth form (N, H/2, W/2, 4) by folding the repack into the
-    final conv — exactly ``space_to_depth(image)``, but no C=1 tensor is ever
-    materialized (see ops/packed.py for why that matters on TPU).
+    ``packed_output=True`` (train path, 1-channel models only) runs the whole
+    small-channel TAIL — every upsample block with Cout <= 64 plus the final
+    conv — in 2x2 space-to-depth form with exactly re-indexed kernels
+    (ops/packed.py): C=32 tensors become C=128 (full TPU lanes, full MXU
+    contraction), no pixel-space C=1 tensor is ever materialized, and the
+    emitted image is ``space_to_depth(image)``. BN statistics and parameters
+    stay in canonical per-channel shape. Numerically equal to the canonical
+    path (tests/test_packed.py); the backward convs inherit the packed
+    layout through autodiff.
     """
     c0, blocks = channel_schedule(cfg)
     new_state: State = {"blocks": []}
+    if packed_output and cfg.image_channels != 1:
+        raise ValueError("packed_output requires 1-channel images")
 
     h = linear(z, params["fc"]["w"], params["fc"]["b"], compute_dtype=compute_dtype)
     h, new_state["fc_bn"] = batch_norm(
@@ -112,18 +119,41 @@ def apply_fn(
     h = _act(h, cfg)
     h = jnp.reshape(h, (h.shape[0], 4, 4, c0))
 
+    packed_now = False
     for i in range(len(blocks)):
         p = params["blocks"][i]
-        h = conv_transpose2d(h, p["w"], stride=2, padding=1, compute_dtype=compute_dtype)
-        h, bs = batch_norm(
-            h, p["bn"]["scale"], p["bn"]["offset"], state["blocks"][i], train=train
-        )
+        if packed_output and not packed_now and blocks[i][1] <= 64:
+            from siggan_tpu.ops.packed import pack_convt_kernel_out_mc
+            h = conv2d(h, pack_convt_kernel_out_mc(p["w"]), stride=1,
+                       padding=1, compute_dtype=compute_dtype)
+            packed_now = True
+        elif packed_now:
+            from siggan_tpu.ops.packed import pack_convt_kernel_both_mc
+            h = conv_transpose2d(h, pack_convt_kernel_both_mc(p["w"]),
+                                 stride=2, padding=1,
+                                 compute_dtype=compute_dtype)
+        else:
+            h = conv_transpose2d(h, p["w"], stride=2, padding=1,
+                                 compute_dtype=compute_dtype)
+        if packed_now:
+            from siggan_tpu.ops.norm import batch_norm_packed
+            h, bs = batch_norm_packed(
+                h, p["bn"]["scale"], p["bn"]["offset"], state["blocks"][i],
+                train=train)
+        else:
+            h, bs = batch_norm(
+                h, p["bn"]["scale"], p["bn"]["offset"], state["blocks"][i],
+                train=train)
         new_state["blocks"].append(bs)
         h = _act(h, cfg)
 
-    if packed_output:
-        if cfg.image_channels != 1:
-            raise ValueError("packed_output requires 1-channel images")
+    if packed_now:
+        from siggan_tpu.ops.packed import pack_conv3_kernel_both_mc
+        wp = pack_conv3_kernel_both_mc(params["final"]["w"])
+        bp = jnp.broadcast_to(params["final"]["b"], (4,))
+        img = conv2d(h, wp, bp, stride=1, padding=1,
+                     compute_dtype=compute_dtype)
+    elif packed_output:
         from siggan_tpu.ops.packed import pack_final_conv_kernel
         wp = pack_final_conv_kernel(params["final"]["w"])
         bp = jnp.broadcast_to(params["final"]["b"], (4,))

@@ -71,3 +71,42 @@ def batch_norm(
     b = offset.astype(jnp.float32) - mean * a
     y = x * a.astype(x.dtype) + b.astype(x.dtype)
     return y, new_state
+
+
+def batch_norm_packed(
+    x: jax.Array,
+    scale: jax.Array,
+    offset: jax.Array,
+    state: Dict[str, jax.Array],
+    *,
+    train: bool,
+    eps: float = EPS,
+    momentum: float = MOMENTUM,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """BatchNorm over a 2x2 space-to-depth packed activation (N, H/2, W/2, 4C)
+    with planar channel order phase*C + c (ops/packed.py): statistics for
+    canonical channel c reduce over (N, H/2, W/2, phase) — the identical
+    value set as canonical BN over (N, H, W) — and the affine broadcasts per
+    canonical channel across its 4 phases. State stays in canonical (C,)
+    shape, so checkpoints are layout-independent.
+    """
+    n_, h_, w_, c4 = x.shape
+    c = c4 // 4
+    xf = x.astype(jnp.float32).reshape(n_, h_, w_, 4, c)
+    if train:
+        mean = jnp.mean(xf, axis=(0, 1, 2, 3))
+        var = jnp.mean(jnp.square(xf), axis=(0, 1, 2, 3)) - jnp.square(mean)
+        n = n_ * h_ * w_ * 4
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    a = scale.astype(jnp.float32) * jax.lax.rsqrt(var + eps)
+    b = offset.astype(jnp.float32) - mean * a
+    a4 = jnp.tile(a, 4).astype(x.dtype)
+    b4 = jnp.tile(b, 4).astype(x.dtype)
+    return x * a4 + b4, new_state

@@ -28,11 +28,16 @@ conv) and discriminator_vanilla_gan.py:133-140 (first block).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["space_to_depth", "depth_to_space", "pack_final_conv_kernel",
-           "pack_first_conv_kernel"]
+           "pack_first_conv_kernel", "space_to_depth_mc", "depth_to_space_mc",
+           "pack_convt_kernel_out_mc", "pack_convt_kernel_both_mc",
+           "pack_conv3_kernel_both_mc"]
 
 
 def space_to_depth(x: jax.Array) -> jax.Array:
@@ -85,3 +90,129 @@ def pack_first_conv_kernel(w: jax.Array) -> jax.Array:
                         continue
                     out = out.at[a, b, 2 * py + px, :].set(w[u, v, 0, :])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-channel packed tail (round 2).
+#
+# The generator's small-channel tail (Cout <= 64 at 16x16..64x64) is where the
+# 64px step spends most of its G time: C=32 NHWC tensors occupy 32/128 lanes
+# of every (8,128) tile, so convs run at ~11% MXU and even the BN normalize
+# pass is 3x off the HBM roofline (measured round 2, see BASELINE.md). Fix:
+# run the tail in 2x2 space-to-depth form — (N, H/2, W/2, 4C) puts 128
+# channels on the lane dimension — with the canonical ConvT(4,2,1) kernels
+# re-indexed EXACTLY into packed-space convolutions:
+#
+#  * tail entry (normal in, packed out):
+#      conv2d(x, Kout, s1, p1) == s2d_mc(conv_transpose2d(x, w, s2, p1))
+#    with Kout[a, b, ci, q*Co+co] = w[u, v, ci, co], u = 3 - 2a + q_row
+#    (rows; columns identical), zero where u leaves [0, 4).
+#  * interior (packed in and out) — self-similar: the packed form of
+#    ConvT(4,2,1) is again a ConvT(4,2,1), with
+#      Kboth[A, B, p*Ci+ci, q*Co+co] = w[u, v, ci, co],
+#      u = 2A + q_row - 2p_row - 1.
+#  * final Conv(3,1,1) (packed in and out):
+#      Kfin[a, b, p*Ci+ci, q*Co+co] = w[du+1, dv+1, ci, co],
+#      du = 2(a-1) - q_row + p_row, zero where |du| > 1.
+#
+# Channel order everywhere: PLANAR — packed index = (2*p_row + p_col)*C + c,
+# which reduces to the existing single-channel order for C=1 (so the packed
+# image form stays compatible with D's packed first conv). Planar order makes
+# each embedded kernel a 4x4 BLOCK MATRIX over (in-phase, out-phase) whose
+# blocks are strided slices of the zero-padded canonical kernel — built with
+# plain pad/slice/concat in the conv's natural layout. (A first
+# implementation used an einsum over an interleaved order; XLA materialized
+# ~0.36 ms/step of 6-D transposes for it. The block-concat form measures at
+# noise level.) Autodiff flows through the slicing, so backward convs run on
+# the packed (128-lane) tensors too. Exactness: tests/test_packed.py.
+# ---------------------------------------------------------------------------
+
+
+def space_to_depth_mc(x: jax.Array) -> jax.Array:
+    """(N, H, W, C) -> (N, H/2, W/2, 4C); channel order (2*p_row+p_col)*C + c."""
+    n, h, w, c = x.shape
+    if h % 2 or w % 2:
+        raise ValueError(f"space_to_depth_mc expects even H, W, got {x.shape}")
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space_mc(x: jax.Array) -> jax.Array:
+    """Inverse of space_to_depth_mc."""
+    n, h2, w2, c4 = x.shape
+    if c4 % 4:
+        raise ValueError(f"depth_to_space_mc expects 4k channels, got {x.shape}")
+    x = x.reshape(n, h2, w2, 2, 2, c4 // 4)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h2, 2 * w2, c4 // 4)
+
+
+def _phase_block(wp: jax.Array, r0: int, c0: int, kk: int) -> jax.Array:
+    """Stride-2 spatial slice of a zero-padded kernel: rows r0, r0+2, ...;
+    structural zeros fall out of the padding."""
+    return wp[r0:r0 + 2 * kk:2, c0:c0 + 2 * kk:2]
+
+
+def pack_convt_kernel_out_mc(w: jax.Array) -> jax.Array:
+    """(4,4,Ci,Co) -> (3,3,Ci,4Co): conv2d(x, out, s1, p1) ==
+    space_to_depth_mc(conv_transpose2d(x, w, s2, p1)).
+
+    Derivation (rows; cols identical): out[a, :, ci, q*Co+co] = w[u, :, ci, co]
+    with u = 3 - 2a + q_row, zero where u leaves [0, 4).
+    """
+    kh, kw, ci, co = w.shape
+    if (kh, kw) != (4, 4):
+        raise ValueError(f"expected (4,4,Ci,Co), got {w.shape}")
+    wrev = w[::-1, ::-1]                      # u = 3+q-2a -> rev index 2a-q
+    wp = jnp.pad(wrev, ((2, 2), (2, 2), (0, 0), (0, 0)))
+    qs = []
+    for qr in (0, 1):
+        for qc in (0, 1):
+            qs.append(_phase_block(wp, 2 - qr, 2 - qc, 3))
+    return jnp.concatenate(qs, axis=3)
+
+
+def pack_convt_kernel_both_mc(w: jax.Array) -> jax.Array:
+    """(4,4,Ci,Co) -> (4,4,4Ci,4Co): conv_transpose2d(X, out, s2, p1) ==
+    s2d_mc(conv_transpose2d(d2s_mc(X), w, s2, p1)) for packed X.
+
+    The packed form of ConvT(4,2,1) is again a ConvT(4,2,1):
+    out[A, :, p*Ci+ci, q*Co+co] = w[u, :, ci, co], u = 2A + q_row - 2p_row - 1.
+    """
+    kh, kw, ci, co = w.shape
+    if (kh, kw) != (4, 4):
+        raise ValueError(f"expected (4,4,Ci,Co), got {w.shape}")
+    wp = jnp.pad(w, ((4, 4), (4, 4), (0, 0), (0, 0)))
+    ps = []
+    for pr in (0, 1):
+        for pc in (0, 1):
+            qs = []
+            for qr in (0, 1):
+                for qc in (0, 1):
+                    qs.append(_phase_block(
+                        wp, 4 + qr - 2 * pr - 1, 4 + qc - 2 * pc - 1, 4))
+            ps.append(jnp.concatenate(qs, axis=3))
+    return jnp.concatenate(ps, axis=2)
+
+
+def pack_conv3_kernel_both_mc(w: jax.Array) -> jax.Array:
+    """(3,3,Ci,Co) -> (3,3,4Ci,4Co): conv2d(X, out, s1, p1) ==
+    s2d_mc(conv2d(d2s_mc(X), w, s1, p1)) for packed X.
+
+    out[a, :, p*Ci+ci, q*Co+co] = w[du+1, :, ci, co],
+    du = 2(a-1) - q_row + p_row, zero where |du| > 1.
+    """
+    kh, kw, ci, co = w.shape
+    if (kh, kw) != (3, 3):
+        raise ValueError(f"expected (3,3,Ci,Co), got {w.shape}")
+    wp = jnp.pad(w, ((3, 3), (3, 3), (0, 0), (0, 0)))
+    ps = []
+    for pr in (0, 1):
+        for pc in (0, 1):
+            qs = []
+            for qr in (0, 1):
+                for qc in (0, 1):
+                    # index du+1 = 2a - 1 - q + p  ->  start (a=0): p - q - 1
+                    qs.append(_phase_block(
+                        wp, 3 + pr - qr - 1, 3 + pc - qc - 1, 3))
+            ps.append(jnp.concatenate(qs, axis=3))
+    return jnp.concatenate(ps, axis=2)

@@ -230,15 +230,39 @@ def make_resident_multi_step(cfg: TrainConfig, n_images: int, scan_steps: int):
     can't keep a 2.3 ms step fed one call at a time); on directly-attached
     TPUs it removes host jitter entirely.
 
+    The per-epoch shuffle is HOISTED out of the scan body: a K-step window
+    touches at most K // steps_per_epoch + 2 distinct epochs, so their
+    permutations are sorted once into a small table before the scan and the
+    body just indexes it — identical batches to the per-step form (the
+    permutation is a pure function of the epoch), but ~0.15 ms/step of
+    redundant 2048-key sorting disappears at 64px/b64/K=32.
+
     Returned fn: ``(state, images) -> (state, metrics)`` with each metric
     stacked to shape (K,); step-exact equivalence with K sequential calls is
     tested in ``tests/test_train_step.py``.
     """
-    step_fn, steps_per_epoch = make_resident_train_step(cfg, n_images)
+    steps_per_epoch = n_images // cfg.batch_size
+    if steps_per_epoch < 1:
+        raise ValueError(
+            f"dataset ({n_images}) smaller than global batch ({cfg.batch_size})")
+    base_step = make_train_step(cfg)
+    data_stream = rnglib.stream(rnglib.root_key(cfg.seed), rnglib.STREAM_DATA)
+    n_epochs = scan_steps // steps_per_epoch + 2
 
     def multi_step(state: TrainState, images: jax.Array):
-        return jax.lax.scan(
-            lambda s, _: step_fn(s, images), state, None, length=scan_steps)
+        e0 = state.step // steps_per_epoch
+        perms = jax.vmap(lambda e: jax.random.permutation(
+            rnglib.at_step(data_stream, e0 + e), n_images))(
+                jnp.arange(n_epochs))
+
+        def body(s: TrainState, _):
+            e_rel = s.step // steps_per_epoch - e0
+            bidx = s.step % steps_per_epoch
+            idx = jax.lax.dynamic_slice(
+                perms, (e_rel, bidx * cfg.batch_size), (1, cfg.batch_size))[0]
+            return base_step(s, jnp.take(images, idx, axis=0))
+
+        return jax.lax.scan(body, state, None, length=scan_steps)
 
     return multi_step, steps_per_epoch
 
