@@ -1,0 +1,109 @@
+"""The round-2 quality run (VERDICT r1 #4).
+
+Trains the full reference recipe (200 epochs, 64px, batch 64) on a large
+diverse synthetic signature set with FID-tracked best checkpoints, then
+evaluates the BEST checkpoint with the multi-seed protocol and refreshes
+docs/examples/ (report + grids).
+
+Target (VERDICT): FID(fake) within ~2x of the real-vs-real floor and LPIPS
+diversity > 0.05 on the same random-init backbone.
+"""
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+RUN = Path("/tmp/quality_run")
+N_IMAGES = 8192
+EPOCHS = 200
+
+
+def train():
+    import numpy as np
+
+    from siggan_tpu.core.config import TrainConfig
+    from siggan_tpu.data.synthetic import generate_dataset
+    from siggan_tpu.train.trainer import GANTrainer
+
+    images = generate_dataset(N_IMAGES, 64, seed=7)
+    print(f"dataset: {images.shape}", flush=True)
+    cfg = TrainConfig(
+        epochs=EPOCHS,
+        fid_interval=10, fid_samples=512,
+        sample_interval=20, checkpoint_interval=10,
+        checkpoint_dir=str(RUN / "checkpoints"),
+        sample_dir=str(RUN / "samples"),
+        log_dir=str(RUN / "logs"),
+        hflip=False,
+    )
+    tr = GANTrainer(cfg, images, experiment_name="quality_r2")
+    summary = tr.train()
+    print(f"summary g_loss last={summary['g_loss']['last']:.3f}", flush=True)
+    print(f"best: {tr.ckpt.available().get('best')} "
+          f"fid={tr.ckpt.available().get('best_fid'):.1f}", flush=True)
+
+
+def evaluate():
+    import time
+
+    import numpy as np
+
+    from siggan_tpu.data.synthetic import generate_dataset
+    from siggan_tpu.eval import lpips as lpips_mod
+    from siggan_tpu.eval.evaluate import compute_metrics
+    from siggan_tpu.eval.fid import FIDScorer
+    from siggan_tpu.infer.export import contact_sheet
+    from siggan_tpu.infer.generate import load_session
+
+    out = Path("docs/examples")
+    out.mkdir(parents=True, exist_ok=True)
+    real = generate_dataset(2048, 64, seed=7)
+    scorer = FIDScorer()
+    lpips_params = lpips_mod.init_params()
+    rs = np.random.RandomState(0)
+    half = rs.permutation(len(real))
+    floor = scorer.fid(real[half[:1024]], real[half[1024:]])
+    noise = rs.rand(1024, 64, 64, 1).astype(np.float32) * 2 - 1
+    ceiling = scorer.fid(real[:1024], noise)
+    print(f"floor {floor:.1f} noise {ceiling:.1f}", flush=True)
+
+    session = load_session(str(RUN / "checkpoints"), "best")
+    fids, lps, metrics = [], [], None
+    for seed in (11, 22, 33):
+        fake = session.sample(2048, seed=seed, batch_size=256)
+        metrics = compute_metrics(real, fake,
+                                  inception_params=None,
+                                  lpips_params=lpips_params)
+        fids.append(scorer.fid(real, fake))
+        lps.append(float(metrics.get("lpips_diversity", float("nan"))))
+        print(f"seed {seed}: FID {fids[-1]:.1f} LPIPS {lps[-1]:.4f}",
+              flush=True)
+    report = {
+        "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "recipe": {"epochs": EPOCHS, "n_images": N_IMAGES,
+                   "checkpoint": "best (lowest FID, fid_interval=10)"},
+        "fid_real_vs_real_floor": floor,
+        "fid_real_vs_noise_control": ceiling,
+        "fid_mean": float(np.mean(fids)), "fid_std": float(np.std(fids)),
+        "fid_per_seed": fids,
+        "lpips_diversity_mean": float(np.mean(lps)),
+        "metrics": metrics,
+    }
+    (out / "report.json").write_text(json.dumps(report, indent=2))
+    contact_sheet(fake[:64], out / "fake_grid.png")
+    contact_sheet(real[:64], out / "real_grid.png")
+    shutil.copy(sorted((RUN / "samples").glob("epoch_*.png"))[-1],
+                out / "progress_final.png")
+    print(f"FID {report['fid_mean']:.1f}±{report['fid_std']:.1f} "
+          f"(floor {floor:.1f}, {report['fid_mean']/floor:.2f}x) "
+          f"LPIPS {report['lpips_diversity_mean']:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    if "--eval-only" not in sys.argv:
+        train()
+    evaluate()
