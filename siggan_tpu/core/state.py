@@ -35,6 +35,33 @@ class TrainState:
     d_opt: Any
 
 
+def flatten_leaves(inner: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Run ``inner`` over per-leaf 1-D views of grads/params.
+
+    Elementwise-identical to ``inner`` (each leaf is only reshaped, never
+    concatenated — unlike ``optax.flatten``, which was measured SLOWER here,
+    see make_optimizers). The win is layout: moment/update math runs on 1-D
+    f32 arrays at full lane utilization instead of inheriting the conv
+    kernels' tiled layouts, where xprof showed small G-tail kernel updates
+    running ~10x off the HBM roofline.
+    """
+    def ravel(tree):
+        return jax.tree_util.tree_map(lambda x: x.reshape(-1), tree)
+
+    def init(params):
+        return inner.init(ravel(params))
+
+    def update(grads, state, params=None):
+        shapes = jax.tree_util.tree_map(lambda g: g.shape, grads)
+        upd, state = inner.update(
+            ravel(grads), state, ravel(params) if params is not None else None)
+        upd = jax.tree_util.tree_map(
+            lambda u, s: u.reshape(s), upd, shapes)
+        return upd, state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizers(cfg: TrainConfig):
     """Adam(lr, (beta1, beta2)) with optional global-norm clipping, matching
     ``vanilla_gan_model.py:110-120`` + ``train_vanilla_gan_signatures.py:262``
@@ -46,8 +73,9 @@ def make_optimizers(cfg: TrainConfig):
         # NOTE: optax.flatten (one concatenated update vector) was measured
         # SLOWER here — the per-step ravel/unravel of 3.9M params costs more
         # than the per-tensor dispatch overhead it removes (35.0k -> 31.2k
-        # img/s at 64px/b64 on v5e).
-        return optax.chain(*tx)
+        # img/s at 64px/b64 on v5e). Per-LEAF flattening (below) keeps the
+        # math identical but stores moments in layout-friendly 1-D form.
+        return flatten_leaves(optax.chain(*tx))
     return chain(cfg.optim.g_lr), chain(cfg.optim.d_lr)
 
 
