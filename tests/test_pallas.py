@@ -76,3 +76,66 @@ def test_fused_generator_requires_tile_multiple():
     packed = pack_generator(state.g_params, state.g_bn, cfg.model)
     with pytest.raises(AssertionError):
         generator_forward(packed, jnp.zeros((6, 100)), tile=4, interpret=True)
+
+
+def test_train_tail_matches_packed_xla():
+    """Fused Pallas train-tail (interpret mode) == the XLA packed tail:
+    image, and BN running-state updates for the tail blocks."""
+    import jax.numpy as jnp
+
+    from siggan_tpu.models import generator
+    from siggan_tpu.ops.conv import conv2d, conv_transpose2d, linear
+    from siggan_tpu.ops.norm import batch_norm, batch_norm_packed
+    from siggan_tpu.ops.packed import (pack_conv3_kernel_both_mc,
+                                       pack_convt_kernel_both_mc,
+                                       pack_convt_kernel_out_mc)
+    from siggan_tpu.ops.pallas.train_tail import tail_forward_train
+
+    cfg = ModelConfig(image_size=64, base_features=32)
+    params, state = generator.init_fn(jax.random.key(0), cfg)
+    _, blocks = generator.channel_schedule(cfg)
+    start = min(i for i, (_, co) in enumerate(blocks) if co <= 64)
+
+    # Pixel-space head up to the tail entry (same math as apply_fn).
+    z = jax.random.normal(jax.random.key(1), (4, cfg.latent_dim))
+    h = linear(z, params["fc"]["w"], params["fc"]["b"])
+    h, _ = batch_norm(h, params["fc_bn"]["scale"], params["fc_bn"]["offset"],
+                      state["fc_bn"], train=True)
+    h = jax.nn.relu(h).reshape(4, 4, 4, -1)
+    for i in range(start):
+        p = params["blocks"][i]
+        h = conv_transpose2d(h, p["w"], stride=2, padding=1)
+        h, _ = batch_norm(h, p["bn"]["scale"], p["bn"]["offset"],
+                          state["blocks"][i], train=True)
+        h = jax.nn.relu(h)
+
+    # XLA reference tail (packed ops).
+    ref = h
+    ref_states = []
+    y = conv2d(ref, pack_convt_kernel_out_mc(params["blocks"][start]["w"]),
+               stride=1, padding=1)
+    y, st = batch_norm_packed(y, params["blocks"][start]["bn"]["scale"],
+                              params["blocks"][start]["bn"]["offset"],
+                              state["blocks"][start], train=True)
+    ref_states.append(st)
+    y = jax.nn.relu(y)
+    for i in range(start + 1, len(blocks)):
+        p = params["blocks"][i]
+        y = conv_transpose2d(y, pack_convt_kernel_both_mc(p["w"]),
+                             stride=2, padding=1)
+        y, st = batch_norm_packed(y, p["bn"]["scale"], p["bn"]["offset"],
+                                  state["blocks"][i], train=True)
+        ref_states.append(st)
+        y = jax.nn.relu(y)
+    wf = pack_conv3_kernel_both_mc(params["final"]["w"])
+    img_ref = jnp.tanh(conv2d(y, wf, jnp.broadcast_to(
+        params["final"]["b"], (4,)), stride=1, padding=1))
+
+    img, new_states = tail_forward_train(params, state, h, cfg,
+                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img_ref),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(new_states),
+                    jax.tree_util.tree_leaves(ref_states)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
