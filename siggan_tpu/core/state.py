@@ -39,11 +39,11 @@ def flatten_leaves(inner: optax.GradientTransformation) -> optax.GradientTransfo
     """Run ``inner`` over per-leaf 1-D views of grads/params.
 
     Elementwise-identical to ``inner`` (each leaf is only reshaped, never
-    concatenated — unlike ``optax.flatten``, which was measured SLOWER here,
-    see make_optimizers). The win is layout: moment/update math runs on 1-D
-    f32 arrays at full lane utilization instead of inheriting the conv
-    kernels' tiled layouts, where xprof showed small G-tail kernel updates
-    running ~10x off the HBM roofline.
+    concatenated — unlike ``optax.flatten``). Hypothesis was that 1-D moment
+    layouts beat the conv kernels' tiled layouts; MEASURED A/B on TPU v5e
+    said otherwise (37.35k vs 37.92k img/s at 64px/b64 — the per-use
+    reshapes cost more than the layout win), so make_optimizers does NOT
+    use this. Kept for the record with its test.
     """
     def ravel(tree):
         return jax.tree_util.tree_map(lambda x: x.reshape(-1), tree)
@@ -70,12 +70,11 @@ def make_optimizers(cfg: TrainConfig):
         tx = [optax.clip_by_global_norm(cfg.optim.gradient_clip_value)] \
             if cfg.optim.gradient_clip_value else []
         tx.append(optax.adam(lr, b1=cfg.optim.beta1, b2=cfg.optim.beta2, eps=1e-8))
-        # NOTE: optax.flatten (one concatenated update vector) was measured
-        # SLOWER here — the per-step ravel/unravel of 3.9M params costs more
-        # than the per-tensor dispatch overhead it removes (35.0k -> 31.2k
-        # img/s at 64px/b64 on v5e). Per-LEAF flattening (below) keeps the
-        # math identical but stores moments in layout-friendly 1-D form.
-        return flatten_leaves(optax.chain(*tx))
+        # NOTE: two optimizer-layout experiments both measured SLOWER than
+        # plain per-tensor Adam on v5e at 64px/b64 and were reverted:
+        # optax.flatten (31.2k vs 35.0k img/s) and per-leaf flatten_leaves
+        # (37.35k vs 37.92k). XLA's per-tensor fusions win.
+        return optax.chain(*tx)
     return chain(cfg.optim.g_lr), chain(cfg.optim.d_lr)
 
 

@@ -97,3 +97,29 @@ def test_pallas_session_interpolate_pads_to_tile(monkeypatch):
     # odd sample count exercises the same padding in sample()
     out = sess.sample(5, seed=1, batch_size=5)
     assert out.shape == (5, 64, 64, 1)
+
+
+def test_flatten_leaves_matches_plain_adam():
+    """Kept-for-the-record optimizer wrapper must be elementwise-identical."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from siggan_tpu.core.state import flatten_leaves
+
+    params = {"a": jnp.arange(12.0).reshape(3, 4) / 7,
+              "b": {"w": jnp.ones((2, 2, 2)) * 0.3}}
+    grads = jax.tree_util.tree_map(lambda x: jnp.sin(x) + 0.1, params)
+    plain = optax.adam(1e-3, b1=0.5, b2=0.999)
+    wrapped = flatten_leaves(optax.adam(1e-3, b1=0.5, b2=0.999))
+    sp, sw = plain.init(params), wrapped.init(params)
+    p1, p2 = params, params
+    for _ in range(3):
+        u1, sp = plain.update(grads, sp, p1)
+        p1 = optax.apply_updates(p1, u1)
+        u2, sw = wrapped.update(grads, sw, p2)
+        p2 = optax.apply_updates(p2, u2)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7)
