@@ -104,6 +104,9 @@ def evaluate():
 
 
 if __name__ == "__main__":
+    for a in sys.argv[1:]:
+        if a.startswith("--run-dir="):
+            RUN = Path(a.split("=", 1)[1])
     if "--eval-only" not in sys.argv:
         train()
     evaluate()
