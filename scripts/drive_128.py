@@ -1,0 +1,84 @@
+"""128px + spectral-norm end-to-end drive (VERDICT r1 #7).
+
+The reference's v1.1 plan (/root/reference/model_versions.yaml:45-71):
+128x128, spectral norm, deeper G. Trains the recipe on 128px synthetic
+signatures with FID-tracked best checkpoints, records the train-step
+throughput alongside the 64px headline, and evaluates the best checkpoint.
+Writes docs/baseline/drive_128.json.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+RUN = Path("/tmp/run128")
+N_IMAGES = 4096
+EPOCHS = 200
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from siggan_tpu.core.config import ModelConfig, TrainConfig
+    from siggan_tpu.data.synthetic import generate_dataset
+    from siggan_tpu.eval import lpips as lpips_mod
+    from siggan_tpu.eval.fid import FIDScorer
+    from siggan_tpu.infer.generate import load_session
+    from siggan_tpu.train.trainer import GANTrainer
+
+    images = generate_dataset(N_IMAGES, 128, seed=7)
+    print(f"dataset: {images.shape}", flush=True)
+    cfg = TrainConfig(
+        model=ModelConfig(image_size=128, use_spectral_norm=True),
+        epochs=EPOCHS, fid_interval=10, fid_samples=256,
+        sample_interval=50, checkpoint_interval=10,
+        checkpoint_dir=str(RUN / "checkpoints"),
+        sample_dir=str(RUN / "samples"), log_dir=str(RUN / "logs"))
+    tr = GANTrainer(cfg, images, experiment_name="drive128")
+    t0 = time.time()
+    tr.train()
+    train_s = time.time() - t0
+    idx = tr.ckpt.available()
+    ms = [m for m in tr.logger.metrics if "ms_per_step" in m]
+    steady = float(np.median([m["ms_per_step"] for m in ms[2:]] or [0]))
+    print(f"train done in {train_s:.0f}s; steady {steady:.2f} ms/step "
+          f"({cfg.batch_size / steady * 1000:.0f} img/s)", flush=True)
+
+    # Evaluate best checkpoint.
+    real = generate_dataset(1024, 128, seed=7)
+    scorer = FIDScorer()
+    rs = np.random.RandomState(0)
+    half = rs.permutation(len(real))
+    floor = scorer.fid(real[half[:512]], real[half[512:]])
+    session = load_session(str(RUN / "checkpoints"), "best")
+    fids, lps = [], []
+    lp = lpips_mod.init_params()
+    for seed in (11, 22):
+        fake = session.sample(1024, seed=seed, batch_size=128)
+        fids.append(scorer.fid(real, fake))
+        lps.append(float(lpips_mod.diversity(lp, fake[:100])))
+        print(f"seed {seed}: FID {fids[-1]:.1f}", flush=True)
+    out = {
+        "recipe": "reference v1.1 (128px, spectral norm), 200 epochs, b64",
+        "train_wall_s": train_s,
+        "steady_ms_per_step": steady,
+        "images_per_sec_per_chip": cfg.batch_size / steady * 1000,
+        "best_epoch": idx.get("best"), "best_train_fid": idx.get("best_fid"),
+        "eval": {"fid_floor_real_vs_real": floor,
+                 "fid_mean": float(np.mean(fids)),
+                 "fid_per_seed": fids,
+                 "lpips_diversity": float(np.mean(lps))},
+    }
+    dst = Path("docs/baseline/drive_128.json")
+    dst.parent.mkdir(parents=True, exist_ok=True)
+    dst.write_text(json.dumps(out, indent=2))
+    print(json.dumps(out, indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    main()
