@@ -46,7 +46,7 @@ def main() -> None:
         (rs.rand(2048, cfg.model.image_size, cfg.model.image_size,
                  cfg.model.image_channels) * 2 - 1).astype(np.float32))
 
-    K = 32
+    K = 64
     step_fn, _ = make_resident_multi_step(cfg, images.shape[0], K)
     step = jax.jit(step_fn, donate_argnums=(0,))
 

@@ -72,7 +72,7 @@ class GANTrainer:
                 self.images_dev = (jax.device_put(images, batch_sharding)
                                    if batch_sharding else jax.device_put(images))
             spe = n_global // cfg.batch_size
-            self.scan_steps = cfg.scan_steps or max(1, min(spe, 32))
+            self.scan_steps = cfg.scan_steps or max(1, min(spe, 64))
             step_fn, self.steps_per_epoch = make_resident_multi_step(
                 cfg, n_global, self.scan_steps)
             self.loader = None
