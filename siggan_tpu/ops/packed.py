@@ -216,3 +216,135 @@ def pack_conv3_kernel_both_mc(w: jax.Array) -> jax.Array:
                         wp, 3 + pr - qr - 1, 3 + pc - qc - 1, 3))
             ps.append(jnp.concatenate(qs, axis=3))
     return jnp.concatenate(ps, axis=2)
+
+
+# ---------------------------------------------------------------------------
+# 4x4 packed IMAGE boundary (round 2, second pass).
+#
+# After the packed tail, xprof still showed ~0.2 ms/step in ops touching the
+# C=4 packed image (final-conv forwards at 12 TF/s, D's first conv at
+# 6.4 TF/s, their backwards): a 4-channel tensor still wastes 124/128 lanes.
+# Pack the image 4x4 instead — (N, S/4, S/4, 16), channel = 4*p_row + p_col —
+# and re-index the two boundary convs again:
+#
+#  * G final: conv2d(H2, Kfin4, s2, p1) == s2d4(conv3s1p1(d2s_mc(H2)))
+#    for the 2x2-packed internal activation H2;
+#      Kfin4[A, B, p2*C+ci, 4qr+qc] = w[dr+1, dc+1, ci, 0],
+#      dr = 2(A-1) - qr + p2_row, zero unless |dr| <= 1.
+#  * D first conv: conv2d(X4, K1, s1, p1) gives the 2x2-packed form of
+#    conv(4,2,1)(image): K1[a, b, 4pi_r+pi_c, qo*Co+co] = w[u, v, 0, co],
+#      u = 4(a-1) + pi_r - 2qo_r + 1, zero outside [0, 4).
+#  * D second conv consumes that 2x2-packed activation and returns to pixel
+#    space: K2[a, b, p2*Ci+ci, co] = w[u, v, ci, co], u = 2a + p2_row - 1
+#    (the existing pack_first_conv_kernel law, generalized to Ci > 1).
+#
+# All exact re-indexings (tests/test_packed.py); 2x2 packing of C=1 images
+# remains for the Pallas investigation record and primitive tests.
+# ---------------------------------------------------------------------------
+
+
+def space_to_depth4(x: jax.Array) -> jax.Array:
+    """(N, H, W, 1) -> (N, H/4, W/4, 16); channel order 4*p_row + p_col."""
+    n, h, w, c = x.shape
+    if c != 1 or h % 4 or w % 4:
+        raise ValueError(f"space_to_depth4 expects (N, 4k, 4k, 1), got {x.shape}")
+    x = x.reshape(n, h // 4, 4, w // 4, 4)
+    return x.transpose(0, 1, 3, 2, 4).reshape(n, h // 4, w // 4, 16)
+
+
+def depth_to_space4(x: jax.Array) -> jax.Array:
+    """Inverse of space_to_depth4."""
+    n, h4, w4, c = x.shape
+    if c != 16:
+        raise ValueError(f"depth_to_space4 expects 16 channels, got {x.shape}")
+    x = x.reshape(n, h4, w4, 4, 4).transpose(0, 1, 3, 2, 4)
+    return x.reshape(n, 4 * h4, 4 * w4, 1)
+
+
+def _phase_block_s(wp: jax.Array, r0: int, c0: int, kk: int,
+                   stride: int) -> jax.Array:
+    """Strided spatial slice of a zero-padded kernel (stride 2 or 4)."""
+    return wp[r0:r0 + stride * kk:stride, c0:c0 + stride * kk:stride]
+
+
+def pack_final_conv_p4(w: jax.Array) -> jax.Array:
+    """(3,3,C,1) -> (4,4,4C,16): conv2d(H2, out, s2, p1) ==
+    space_to_depth4(conv2d(d2s_mc(H2), w, s1, p1)) for 2x2-packed H2."""
+    kh, kw, ci, co = w.shape
+    if (kh, kw, co) != (3, 3, 1):
+        raise ValueError(f"expected (3,3,C,1), got {w.shape}")
+    wsq = w[..., 0]                                   # (3,3,C)
+    wp = jnp.pad(wsq, ((8, 8), (8, 8), (0, 0)))
+    ps = []
+    for pr in (0, 1):
+        for pc in (0, 1):
+            qs = []
+            for qr in range(4):
+                for qc in range(4):
+                    # index dr+1 = 2A - 1 - qr + pr; start (A=0) at -1-qr+pr
+                    blk = _phase_block_s(wp, 8 - 1 - qr + pr,
+                                         8 - 1 - qc + pc, 4, 2)
+                    qs.append(blk[..., None])
+            ps.append(jnp.concatenate(qs, axis=3))    # (4,4,C,16)
+    return jnp.concatenate(ps, axis=2)                # (4,4,4C,16)
+
+
+def pack_first_conv_p4(w: jax.Array) -> jax.Array:
+    """(4,4,1,Co) -> (3,3,16,4Co): conv2d(s2d4(x), out, s1, p1) ==
+    s2d_mc(conv2d(x, w, s2, p1))."""
+    kh, kw, cin, co = w.shape
+    if (kh, kw, cin) != (4, 4, 1):
+        raise ValueError(f"expected (4,4,1,Co), got {w.shape}")
+    wsq = w[:, :, 0, :]                               # (4,4,Co)
+    wp = jnp.pad(wsq, ((8, 8), (8, 8), (0, 0)))
+    ps = []
+    for pi_r in range(4):
+        for pi_c in range(4):
+            qs = []
+            for qo_r in (0, 1):
+                for qo_c in (0, 1):
+                    # u = 4(a-1) + pi - 2qo + 1; start (a=0): pi - 2qo - 3
+                    blk = _phase_block_s(wp, 8 + pi_r - 2 * qo_r - 3,
+                                         8 + pi_c - 2 * qo_c - 3, 3, 4)
+                    qs.append(blk)
+            ps.append(jnp.concatenate(qs, axis=2)[:, :, None, :])
+    return jnp.concatenate(ps, axis=2)                # (3,3,16,4Co)
+
+
+def pack_conv_p2_in(w: jax.Array) -> jax.Array:
+    """(4,4,Ci,Co) -> (3,3,4Ci,Co): conv2d(P2, out, s1, p1) ==
+    conv2d(d2s_mc(P2), w, s2, p1) for a 2x2-packed input P2."""
+    kh, kw, ci, co = w.shape
+    if (kh, kw) != (4, 4):
+        raise ValueError(f"expected (4,4,Ci,Co), got {w.shape}")
+    wp = jnp.pad(w, ((4, 4), (4, 4), (0, 0), (0, 0)))
+    ps = []
+    for pr in (0, 1):
+        for pc in (0, 1):
+            # u = 2a + p - 1; start (a=0): p - 1
+            ps.append(_phase_block_s(wp, 4 + pr - 1, 4 + pc - 1, 3, 2))
+    return jnp.concatenate(ps, axis=2)                # (3,3,4Ci,Co)
+
+
+def pack_first_conv_p4_pixel(w: jax.Array) -> jax.Array:
+    """(4,4,1,Co) -> (4,4,16,Co): conv_transpose2d(s2d4(x), out, s2, p1) ==
+    conv2d(x, w, s2, p1) — 4x4-packed image in, PIXEL-space activation out.
+
+    (A first cut emitted a 2x2-packed activation and re-indexed D's second
+    conv to consume it; measured SLOWER — the second conv's 2.25x embedded-
+    kernel FLOP inflation outweighed the layout win, see BASELINE.md. Going
+    straight to pixels keeps every later D conv canonical.)
+
+    Derivation (rows): out[A, :, 4*pi_r+pi_c, co] = w[u, :, 0, co] with
+    u = pi_r + 3 - 2A, zero where u leaves [0, 4).
+    """
+    kh, kw, cin, co = w.shape
+    if (kh, kw, cin) != (4, 4, 1):
+        raise ValueError(f"expected (4,4,1,Co), got {w.shape}")
+    wrev = w[::-1, ::-1, 0, :]                # u = pi+3-2A -> rev idx 2A-pi
+    wp = jnp.pad(wrev, ((4, 4), (4, 4), (0, 0)))
+    ps = []
+    for pi_r in range(4):
+        for pi_c in range(4):
+            ps.append(_phase_block_s(wp, 4 - pi_r, 4 - pi_c, 4, 2)[:, :, None, :])
+    return jnp.concatenate(ps, axis=2)        # (4,4,16,Co)

@@ -79,3 +79,18 @@ def spectral_norm(
     sigma = u @ (mat @ v)
     w_sn = (w.astype(jnp.float32) / sigma).astype(w.dtype)
     return w_sn, {"u": u}
+
+
+def dropout2d_packed(x: jax.Array, rate: float, key: jax.Array, *,
+                     train: bool, phases: int = 4) -> jax.Array:
+    """Channel dropout on a phase-packed activation (N, H, W, phases*C),
+    planar order (ops/packed.py): ONE bernoulli per canonical channel,
+    broadcast across its phases — with the same ``key`` this drops exactly
+    the channels the pixel-space ``dropout2d`` would drop."""
+    if not train or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    c = x.shape[-1] // phases
+    mask = jax.random.bernoulli(key, keep, (x.shape[0], 1, 1, c))
+    mask = jnp.tile(mask, (1, 1, 1, phases))
+    return jnp.where(mask, x / keep, jnp.zeros((), x.dtype)).astype(x.dtype)

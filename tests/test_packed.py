@@ -11,8 +11,10 @@ import numpy as np
 from siggan_tpu.core.config import ModelConfig, TrainConfig
 from siggan_tpu.models import discriminator, generator
 from siggan_tpu.ops.conv import conv2d
-from siggan_tpu.ops.packed import (depth_to_space, pack_final_conv_kernel,
-                                   pack_first_conv_kernel, space_to_depth)
+from siggan_tpu.ops.packed import (depth_to_space, depth_to_space4,
+                                   pack_final_conv_kernel,
+                                   pack_first_conv_kernel, space_to_depth,
+                                   space_to_depth4)
 
 
 def test_space_to_depth_roundtrip():
@@ -143,3 +145,47 @@ def test_generator_packed_tail_gradients_match():
                     jax.tree_util.tree_leaves(g_pack)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-2, atol=1e-3)
+
+
+def test_p4_boundary_embeddings_exact():
+    """4x4 image-packing embeddings (kept as a measured dead end — the
+    boundary rewrite benched SLOWER end-to-end, see BASELINE.md — but the
+    re-indexings themselves are exact)."""
+    from siggan_tpu.ops.conv import conv_transpose2d
+    from siggan_tpu.ops.packed import (depth_to_space4, pack_conv_p2_in,
+                                       pack_final_conv_p4,
+                                       pack_first_conv_p4,
+                                       pack_first_conv_p4_pixel,
+                                       space_to_depth4, space_to_depth_mc)
+
+    rs = np.random.RandomState(0)
+    img = jnp.asarray(rs.randn(2, 16, 16, 1).astype(np.float32))
+    assert np.allclose(depth_to_space4(space_to_depth4(img)), img)
+
+    act = jnp.asarray(rs.randn(2, 16, 16, 6).astype(np.float32))
+    w3 = jnp.asarray(rs.randn(3, 3, 6, 1).astype(np.float32))
+    ref = space_to_depth4(conv2d(act, w3, stride=1, padding=1))
+    got = conv2d(space_to_depth_mc(act), pack_final_conv_p4(w3),
+                 stride=2, padding=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    w4 = jnp.asarray(rs.randn(4, 4, 1, 5).astype(np.float32))
+    ref = space_to_depth_mc(conv2d(img, w4, stride=2, padding=1))
+    got = conv2d(space_to_depth4(img), pack_first_conv_p4(w4),
+                 stride=1, padding=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    ref = conv2d(img, w4, stride=2, padding=1)
+    got = conv_transpose2d(space_to_depth4(img), pack_first_conv_p4_pixel(w4),
+                           stride=2, padding=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    w42 = jnp.asarray(rs.randn(4, 4, 6, 7).astype(np.float32))
+    ref = conv2d(act, w42, stride=2, padding=1)
+    got = conv2d(space_to_depth_mc(act), pack_conv_p2_in(w42),
+                 stride=1, padding=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
