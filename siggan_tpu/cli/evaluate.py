@@ -27,6 +27,11 @@ def parse_arguments(argv=None) -> argparse.Namespace:
                         "FID comparisons are noise — SURVEY §7)")
     p.add_argument("--output_dir", type=str, default="./evaluation")
     p.add_argument("--lpips_subset", type=int, default=100)
+    p.add_argument("--n_grids", type=int, default=3,
+                   help="sample grids to write for visual inspection "
+                        "(evaluate…py:194 create_sample_grids)")
+    p.add_argument("--grid_size", type=int, default=64,
+                   help="samples per grid")
     p.add_argument("--max_real", type=int, default=None)
     p.add_argument("--inception_weights", type=str, default=None,
                    help="optional torchvision inception_v3 state-dict file "
@@ -83,6 +88,15 @@ def main(argv=None) -> int:
                               for k, v in agg.items()})
     contact_sheet(fake[:64], out / "fake_grid.png")
     contact_sheet(real[:64], out / "real_grid.png")
+    # Multi-grid writer (reference create_sample_grids :194): n_grids
+    # disjoint windows of the generated set.
+    from siggan_tpu.utils.visualizer import save_sample_grid
+    for gi in range(args.n_grids):
+        lo = gi * args.grid_size
+        if lo >= len(fake):
+            break
+        save_sample_grid(fake[lo:lo + args.grid_size],
+                         out / f"sample_grid_{gi + 1}.png")
     report = save_evaluation_report(
         results, out / "evaluation_report.json",
         extra={"checkpoint": args.checkpoint, "which": str(which),

@@ -22,6 +22,9 @@ def parse_arguments(argv=None) -> argparse.Namespace:
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--seed", type=int, default=123,
                    help="test pairs are seeded for reproducibility")
+    p.add_argument("--threshold", type=float, default=0.5,
+                   help="decision threshold on the similarity score "
+                        "(signature_verifier_eval.py CLI parity)")
     return p.parse_args(argv)
 
 
@@ -42,7 +45,7 @@ def main(argv=None) -> int:
     if args.augmented_model:
         model_paths["augmented"] = args.augmented_model
     evaluate_signature_verifier(model_paths, test_data, args.output_dir,
-                                args.batch_size)
+                                args.batch_size, args.threshold)
     print(f"Outputs in {args.output_dir}")
     return 0
 

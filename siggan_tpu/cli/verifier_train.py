@@ -22,6 +22,8 @@ def parse_arguments(argv=None) -> argparse.Namespace:
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--pairs_per_user", type=int, default=10)
+    p.add_argument("--embedding_dim", type=int, default=128,
+                   help="Siamese embedding size (CNNEncoder:94)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -36,7 +38,8 @@ def main(argv=None) -> int:
     results = train_model(
         args.data_dir, args.synthetic_dir, args.output_dir,
         epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
-        pairs_per_user=args.pairs_per_user, seed=args.seed)
+        pairs_per_user=args.pairs_per_user, seed=args.seed,
+        embedding_dim=args.embedding_dim)
     for name, r in results.items():
         print(f"{name}: best val accuracy {r['best_val_accuracy']:.4f}")
     return 0

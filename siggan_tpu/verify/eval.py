@@ -178,14 +178,16 @@ def print_comparison_table(results: Dict[str, Dict]) -> None:
 
 def evaluate_signature_verifier(model_paths: Dict[str, str], test_data,
                                 output_dir: str | Path,
-                                batch_size: int = 128) -> Dict[str, Any]:
+                                batch_size: int = 128,
+                                threshold: float = 0.5) -> Dict[str, Any]:
     """Full pipeline (reference :935-1058): load each model, score the seeded
     test pairs, plot, report."""
     out = Path(output_dir)
     results = {}
     for name, path in model_paths.items():
         snapshot = load_verifier(path)
-        results[name] = evaluate_model(snapshot, test_data, batch_size)
+        results[name] = evaluate_model(snapshot, test_data, batch_size,
+                                       threshold)
         print(f"[{name}] acc {results[name]['metrics']['accuracy']:.4f} "
               f"EER {results[name]['metrics']['eer']:.4f}", flush=True)
     plot_roc(results, out / "roc.png")

@@ -188,7 +188,8 @@ def load_verifier(path: str | Path) -> Dict:
 
 def train_model(data_dir: str, synthetic_dir: Optional[str], output_dir: str,
                 *, epochs: int = 20, batch_size: int = 32, lr: float = 1e-3,
-                pairs_per_user: int = 10, seed: int = 0) -> Dict:
+                pairs_per_user: int = 10, seed: int = 0,
+                embedding_dim: int = 128) -> Dict:
     """The full experiment (reference train_model:500-697): baseline
     (real-only) vs augmented (real + synthetic) verifiers, 80/20 split,
     best-val checkpoints, JSON history."""
@@ -205,7 +206,8 @@ def train_model(data_dir: str, synthetic_dir: Optional[str], output_dir: str,
         train_data, val_data = ds.split(0.2, seed=seed)
         _, history = train_verifier(
             train_data, val_data, epochs=epochs, batch_size=batch_size,
-            lr=lr, seed=seed, save_path=out / f"verifier_{name}.pkl")
+            lr=lr, seed=seed, embedding_dim=embedding_dim,
+            save_path=out / f"verifier_{name}.pkl")
         results[name] = {"history": history,
                          "best_val_accuracy": max(v["accuracy"]
                                                   for v in history["val"])}
