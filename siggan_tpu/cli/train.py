@@ -30,6 +30,10 @@ def parse_arguments(argv=None) -> argparse.Namespace:
     p.add_argument("--label_smoothing", type=float, default=0.9)
     p.add_argument("--gradient_clip", type=float, default=None)
     p.add_argument("--n_critic", type=int, default=1)
+    p.add_argument("--share_fakes", action="store_true",
+                   help="fast mode with the reference ablation-trainer "
+                        "semantics: one latent batch per iteration, "
+                        "fakes shared between the D and G updates")
     p.add_argument("--spectral_norm", action="store_true")
     p.add_argument("--no_augment", action="store_true")
     p.add_argument("--hflip", action="store_true")
@@ -77,6 +81,7 @@ def build_config(args: argparse.Namespace):
         mesh=MeshConfig(num_data=args.num_data_devices),
         batch_size=args.batch_size, epochs=args.epochs,
         label_smoothing=args.label_smoothing, n_critic=args.n_critic,
+        share_fakes=args.share_fakes,
         seed=args.seed, compute_dtype=args.compute_dtype,
         sample_interval=args.sample_interval,
         checkpoint_interval=args.checkpoint_interval,

@@ -80,6 +80,12 @@ class TrainConfig:
     epochs: int = 200
     label_smoothing: float = 0.9
     n_critic: int = 1
+    # Fast mode with the reference's ABLATION-trainer semantics
+    # (ablation_vanilla_gan_signatures.py:434,444): one latent batch per
+    # iteration, D trains on the detached fakes, G reuses them through the
+    # updated D — saving a full generator forward per step. Default OFF:
+    # the faithful main-trainer recipe draws fresh noise per sub-step.
+    share_fakes: bool = False
     seed: int = 42
 
     # Numerics: params kept in f32; matmul/conv compute in bf16 on TPU when

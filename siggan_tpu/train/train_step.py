@@ -150,6 +150,81 @@ def g_step(
     return new_state, metrics
 
 
+def shared_fakes_step(
+    state: TrainState, real: jax.Array, noise_key: jax.Array,
+    drop_key: jax.Array, cfg: TrainConfig, d_tx, g_tx,
+) -> Tuple[TrainState, Metrics]:
+    """One D update + one G update sharing a SINGLE generator forward.
+
+    The reference's ablation trainer semantics
+    (``ablation_vanilla_gan_signatures.py:434,444``): one latent batch per
+    iteration, D trains on the detached fakes, G reuses the same fakes
+    through the updated D. Here the reuse is literal — the G forward runs
+    once under ``jax.vjp`` and its residuals back-propagate the G update, so
+    the step saves an entire generator forward vs the faithful default
+    (fresh noise per sub-step). Opt in with ``cfg.share_fakes``.
+    """
+    cdt = _dtype(cfg)
+    packed = _packed(cfg)
+    b = real.shape[0]
+    z = generator.generate_latent(noise_key, b, cfg.model)
+    dk_d, dk_g = jax.random.split(drop_key)
+
+    (fake, g_bn), g_vjp = jax.vjp(
+        lambda p: generator.apply_fn(p, state.g_bn, z, cfg.model, train=True,
+                                     compute_dtype=cdt, packed_output=packed),
+        state.g_params)
+    if packed:
+        from siggan_tpu.ops.packed import space_to_depth
+        real = space_to_depth(real)
+    both = jnp.concatenate(
+        [real.astype(fake.dtype), jax.lax.stop_gradient(fake)], axis=0)
+
+    def d_loss_fn(d_params):
+        logits, d_state = discriminator.apply_fn(
+            d_params, state.d_state, both, cfg.model,
+            train=True, rng=dk_d, compute_dtype=cdt, packed_input=packed)
+        logits_r, logits_f = logits[:b], logits[b:]
+        loss = _bce_mean(logits_r, cfg.label_smoothing) + _bce_mean(logits_f, 0.0)
+        return loss, (d_state, logits_r, logits_f)
+
+    (d_loss, (d_state, logits_r, logits_f)), d_grads = jax.value_and_grad(
+        d_loss_fn, has_aux=True)(state.d_params)
+    d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+    d_params = optax.apply_updates(state.d_params, d_updates)
+
+    # G update: loss head through the UPDATED D on the SAME fakes; the fake
+    # cotangent flows back through the saved forward (one zero cotangent for
+    # the aux g_bn output).
+    def g_head(fake_):
+        logits, d_state2 = discriminator.apply_fn(
+            d_params, d_state, fake_, cfg.model, train=True, rng=dk_g,
+            compute_dtype=cdt, packed_input=packed)
+        return _bce_mean(logits, 1.0), (d_state2, logits)
+
+    (g_loss, (d_state, logits_g)), dfake = jax.value_and_grad(
+        g_head, has_aux=True)(fake)
+    (g_grads,) = g_vjp((dfake, jax.tree_util.tree_map(jnp.zeros_like, g_bn)))
+    g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+    g_params = optax.apply_updates(state.g_params, g_updates)
+
+    p_real, p_fake = jax.nn.sigmoid(logits_r), jax.nn.sigmoid(logits_f)
+    metrics = {
+        "d_loss": d_loss,
+        "g_loss": g_loss,
+        "d_real_mean": jnp.mean(p_real),
+        "d_fake_mean": jnp.mean(p_fake),
+        "d_acc_real": jnp.mean((p_real > 0.5).astype(jnp.float32)),
+        "d_acc_fake": jnp.mean((p_fake < 0.5).astype(jnp.float32)),
+        "d_on_g_mean": jnp.mean(jax.nn.sigmoid(logits_g)),
+    }
+    metrics["d_accuracy"] = 0.5 * (metrics["d_acc_real"] + metrics["d_acc_fake"])
+    new_state = state.replace(
+        g_params=g_params, g_bn=g_bn, d_params=d_params, d_state=d_state,
+        g_opt=g_opt, d_opt=d_opt)
+    return new_state, metrics
+
+
 def make_train_step(cfg: TrainConfig):
     """Build the fused (n_critic x D) + G step.
 
@@ -174,6 +249,15 @@ def make_train_step(cfg: TrainConfig):
                 dtype=_dtype(cfg))
         nk = rnglib.at_step(noise_stream, state.step)
         dk = rnglib.at_step(drop_stream, state.step)
+
+        if cfg.share_fakes:
+            if cfg.n_critic != 1:
+                raise ValueError("share_fakes requires n_critic == 1 "
+                                 "(ablation-trainer semantics)")
+            state, metrics = shared_fakes_step(
+                state, real, nk, dk, cfg, d_tx, g_tx)
+            return state.replace(step=state.step + 1), metrics
+
         nkeys = jax.random.split(nk, cfg.n_critic + 1)
         dkeys = jax.random.split(dk, cfg.n_critic + 1)
 

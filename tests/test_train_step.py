@@ -156,3 +156,69 @@ def test_eval_generate():
     assert jnp.all(jnp.abs(img) <= 1.0)
     # eval is deterministic
     assert jnp.allclose(img, gen(state, z))
+
+
+def test_shared_fakes_step_equals_retrace():
+    """share_fakes (single G forward via vjp) must equal the naive
+    re-traced implementation of the ablation-trainer semantics."""
+    import dataclasses
+
+    import optax
+
+    from siggan_tpu.core.config import ModelConfig, TrainConfig
+    from siggan_tpu.core.state import create_train_state, make_optimizers
+    from siggan_tpu.models import discriminator, generator
+    from siggan_tpu.train import train_step as ts
+
+    cfg = TrainConfig(model=ModelConfig(image_size=64, base_features=16),
+                      batch_size=8, compute_dtype=None, augment=False,
+                      packed_io=False, share_fakes=True)
+    rs = np.random.RandomState(0)
+    real = jnp.asarray((rs.rand(8, 64, 64, 1) * 2 - 1).astype(np.float32))
+    g_tx, d_tx = make_optimizers(cfg)
+    state = create_train_state(cfg)
+    nk, dk = jax.random.key(5), jax.random.key(6)
+
+    got_state, got_m = ts.shared_fakes_step(state, real, nk, dk, cfg,
+                                            d_tx, g_tx)
+
+    # naive re-trace with the identical key structure
+    z = generator.generate_latent(nk, 8, cfg.model)
+    dk_d, dk_g = jax.random.split(dk)
+    fake, g_bn = generator.apply_fn(state.g_params, state.g_bn, z, cfg.model,
+                                    train=True)
+    both = jnp.concatenate([real, jax.lax.stop_gradient(fake)], axis=0)
+
+    def d_loss_fn(dp):
+        logits, d_state = discriminator.apply_fn(
+            dp, state.d_state, both, cfg.model, train=True, rng=dk_d)
+        return (ts._bce_mean(logits[:8], cfg.label_smoothing)
+                + ts._bce_mean(logits[8:], 0.0)), d_state
+
+    (d_loss, d_state), d_grads = jax.value_and_grad(
+        d_loss_fn, has_aux=True)(state.d_params)
+    du, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+    d_params = optax.apply_updates(state.d_params, du)
+
+    def g_loss_fn(gp):
+        fake2, _ = generator.apply_fn(gp, state.g_bn, z, cfg.model,
+                                      train=True)
+        logits, _ = discriminator.apply_fn(
+            d_params, d_state, fake2, cfg.model, train=True, rng=dk_g)
+        return ts._bce_mean(logits, 1.0)
+
+    g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
+    gu, _ = g_tx.update(g_grads, state.g_opt, state.g_params)
+    g_params = optax.apply_updates(state.g_params, gu)
+
+    np.testing.assert_allclose(float(got_m["d_loss"]), float(d_loss),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(got_m["g_loss"]), float(g_loss),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(got_state.g_params),
+                    jax.tree_util.tree_leaves(g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(got_state.g_bn),
+                    jax.tree_util.tree_leaves(g_bn)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
