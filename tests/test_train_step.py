@@ -138,8 +138,10 @@ def test_resident_multi_step_equals_sequential():
 
     assert int(s_scan.step) == int(s_seq.step) == 4
     assert m_scan["g_loss"].shape == (4,)
+    # rtol: scan vs unrolled programs fuse the packed-graph convs
+    # differently; ~1e-5 relative f32 drift accumulates over 4 steps.
     np.testing.assert_allclose(float(m_scan["g_loss"][-1]),
-                               float(m_seq["g_loss"]), rtol=1e-5)
+                               float(m_seq["g_loss"]), rtol=1e-4)
     wa = np.asarray(jax.tree_util.tree_leaves(s_seq.g_params)[0])
     wb = np.asarray(jax.tree_util.tree_leaves(s_scan.g_params)[0])
     # scan and unrolled programs fuse differently; tiny f32 drift is expected
