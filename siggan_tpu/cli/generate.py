@@ -23,6 +23,8 @@ def parse_arguments(argv=None) -> argparse.Namespace:
     p.add_argument("--output_dir", type=str, default="./generated")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--class_id", type=int, default=None,
+                   help="conditional checkpoints: generate this writer class")
     p.add_argument("--noise_scale", type=float, default=1.0)
     p.add_argument("--prefix", type=str, default="signature")
     p.add_argument("--grid", action="store_true", help="also write a contact sheet")
@@ -74,9 +76,8 @@ def main(argv=None) -> int:
     def progress(done, total):
         print(f"\rGenerated {done}/{total}", end="", flush=True)
 
-    images = session.sample(
-        args.n_samples, seed=args.seed, noise_scale=args.noise_scale,
-        batch_size=args.batch_size, progress=progress)
+    images = session.sample(args.n_samples, seed=args.seed, noise_scale=args.noise_scale,
+        batch_size=args.batch_size, progress=progress, class_id=args.class_id)
     print()
     paths = save_pngs(images, args.output_dir, prefix=args.prefix)
     print(f"Saved {len(paths)} images to {args.output_dir}")

@@ -35,6 +35,10 @@ def parse_arguments(argv=None) -> argparse.Namespace:
                         "semantics: one latent batch per iteration, "
                         "fakes shared between the D and G updates")
     p.add_argument("--spectral_norm", action="store_true")
+    p.add_argument("--num_classes", type=int, default=0,
+                   help="conditional per-writer training (v2.0): number of "
+                        "writers; data_dir must contain per-writer subdirs "
+                        "(0 = unconditional)")
     p.add_argument("--no_augment", action="store_true")
     p.add_argument("--hflip", action="store_true")
     p.add_argument("--seed", type=int, default=42)
@@ -75,7 +79,8 @@ def build_config(args: argparse.Namespace):
         ckpt, sample, log = str(run / "checkpoints"), str(run / "samples"), str(run / "logs")
     return TrainConfig(
         model=ModelConfig(latent_dim=args.latent_dim, image_size=args.image_size,
-                          use_spectral_norm=args.spectral_norm),
+                          use_spectral_norm=args.spectral_norm,
+                          num_classes=args.num_classes),
         optim=OptimConfig(g_lr=args.g_lr, d_lr=args.d_lr, beta1=args.beta1,
                           beta2=args.beta2, gradient_clip_value=args.gradient_clip),
         mesh=MeshConfig(num_data=args.num_data_devices),
@@ -104,7 +109,15 @@ def main(argv=None) -> int:
     ds = SignatureDataset(cfg.data_dir, cfg.model.image_size,
                           max_images=args.max_images)
     print(f"Dataset: {ds.statistics()}", flush=True)
-    trainer = GANTrainer(cfg, ds.images, stop_file=args.stop_file)
+    labels = None
+    if cfg.model.num_classes > 0:
+        labels, names = ds.writer_labels()
+        if len(names) != cfg.model.num_classes:
+            raise SystemExit(f"--num_classes={cfg.model.num_classes} but "
+                             f"found {len(names)} writer subdirs")
+        print(f"Writers: {len(names)}", flush=True)
+    trainer = GANTrainer(cfg, ds.images, stop_file=args.stop_file,
+                         labels=labels)
     if args.resume or args.resume_from:
         which = args.resume_from or "latest"
         if which not in ("latest", "best"):

@@ -38,6 +38,11 @@ class ModelConfig:
     image_size: int = 64           # 64 or 128
     image_channels: int = 1
     base_features: int = 256       # generator stem width at 4x4
+    # Conditional per-writer generation (the reference registry's v2.0 plan,
+    # /root/reference/model_versions.yaml:74-97 — planned there, implemented
+    # here). 0 = unconditional (v1.x). When > 0: G adds a learned per-class
+    # embedding to z; D scores with a projection head (logit += <emb_y, feat>).
+    num_classes: int = 0
     use_spectral_norm: bool = False
     dropout: float = 0.25          # discriminator Dropout2d rate
     leaky_slope: float = 0.2

@@ -61,6 +61,24 @@ class SignatureDataset:
             raise ValueError(f"no images found under {data_dir}")
         self.images = self._load(use_cache)
 
+    def writer_labels(self):
+        """(labels (N,) int32, class_names) from per-user SUBDIRECTORIES of
+        data_dir — the grouping convention the verifier pipelines already use
+        (``signature_verifier_train.py:261-316``). Conditional (v2.0)
+        training consumes these. Raises if images sit directly in data_dir.
+        """
+        names = sorted({p.parent.name for p in self.paths
+                        if p.parent != self.data_dir})
+        direct = [p for p in self.paths if p.parent == self.data_dir]
+        if direct or not names:
+            raise ValueError(
+                "conditional training expects per-writer subdirectories "
+                f"under {self.data_dir}")
+        index = {n: i for i, n in enumerate(names)}
+        labels = np.asarray([index[p.parent.name] for p in self.paths],
+                            np.int32)
+        return labels, names
+
     def _cache_path(self) -> Path:
         sig = hashlib.sha1(
             ("|".join(f"{p.name}:{p.stat().st_size}" for p in self.paths)

@@ -36,7 +36,7 @@ class GeneratorSession:
         self.cfg = model_cfg
         dt = jnp.dtype(compute_dtype) if compute_dtype else None
 
-        if use_pallas and model_cfg.image_size == 64:
+        if use_pallas and model_cfg.image_size == 64 and model_cfg.num_classes == 0:
             # Experimental fused whole-generator kernel (see
             # ops/pallas/generator_fwd.py for the measured XLA-vs-Pallas
             # verdict; XLA is the default for a reason).
@@ -58,9 +58,10 @@ class GeneratorSession:
 
             self._fwd = fwd
         else:
-            def fwd(z):
+            def fwd(z, y=None):
                 img, _ = generator.apply_fn(
-                    g_params, g_bn, z, model_cfg, train=False, compute_dtype=dt)
+                    g_params, g_bn, z, model_cfg, train=False,
+                    compute_dtype=dt, y=y)
                 return img.astype(jnp.float32)
 
             self._fwd = jax.jit(fwd)
@@ -68,16 +69,32 @@ class GeneratorSession:
     def sample(self, n: int, *, seed: int = 42, noise_scale: float = 1.0,
                batch_size: int = 64,
                progress: Optional[Callable[[int, int], None]] = None,
+               class_id: Optional[int] = None,
                ) -> np.ndarray:
-        """Generate n images, (n, H, W, C) float32 in [-1, 1]."""
+        """Generate n images, (n, H, W, C) float32 in [-1, 1].
+
+        ``class_id``: for conditional (v2.0) checkpoints, generate this
+        writer's class; None draws a uniform class per image (or runs
+        unconditionally for v1.x models).
+        """
         stream = rnglib.stream(rnglib.root_key(seed), rnglib.STREAM_EVAL)
+        conditional = self.cfg.num_classes > 0
         outs = []
         done = 0
         for bidx in range(-(-n // batch_size)):
             take = min(batch_size, n - done)
-            z = generator.generate_latent(
-                rnglib.at_step(stream, bidx), batch_size, self.cfg, noise_scale)
-            outs.append(self._fwd(z)[:take])
+            key = rnglib.at_step(stream, bidx)
+            y = None
+            if conditional:
+                key, yk = jax.random.split(key)
+                if class_id is not None:
+                    y = jnp.full((batch_size,), class_id, jnp.int32)
+                else:
+                    y = jax.random.randint(yk, (batch_size,), 0,
+                                           self.cfg.num_classes)
+            z = generator.generate_latent(key, batch_size, self.cfg, noise_scale)
+            out = self._fwd(z, y) if conditional else self._fwd(z)
+            outs.append(out[:take])
             done += take
             if progress is not None:
                 progress(done, n)

@@ -51,6 +51,12 @@ def init_fn(key: jax.Array, cfg: ModelConfig) -> Tuple[Params, State]:
         "w": init.linear_w(keys[-1], (final_features, 1)),
         "b": init.zeros((1,)),
     }}
+    if cfg.num_classes > 0:
+        # projection-discriminator class embedding over the flattened
+        # pre-classifier features (logit += <embed[y], feat>).
+        params["class_embed"] = init.linear_w(
+            jax.random.fold_in(keys[-1], 0x434C53),
+            (cfg.num_classes, final_features))
     state: State = {"blocks": [], "fc": {}}
     for i, (cin, cout) in enumerate(blocks):
         params["blocks"].append({
@@ -74,6 +80,7 @@ def apply_fn(
     compute_dtype=None,
     features: bool = False,
     packed_input: bool = False,
+    y: jax.Array | None = None,
 ) -> Tuple[jax.Array, State]:
     """x: (N,H,W,C) -> logits (N, 1) (or flattened features if features=True).
 
@@ -115,6 +122,13 @@ def apply_fn(
     if cfg.use_spectral_norm:
         w, new_state["fc"] = spectral_norm(w, state["fc"], train=train)
     logits = linear(flat, w, params["fc"]["b"], compute_dtype=compute_dtype)
+    if cfg.num_classes > 0:
+        if y is None:
+            raise ValueError("conditional discriminator requires labels y")
+        emb = jnp.take(jnp.asarray(params["class_embed"]), y, axis=0)
+        proj = jnp.sum(flat.astype(jnp.float32) * emb.astype(jnp.float32),
+                       axis=-1, keepdims=True)
+        logits = logits.astype(jnp.float32) + proj
     return logits.astype(jnp.float32), new_state
 
 

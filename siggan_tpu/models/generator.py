@@ -68,6 +68,12 @@ def init_fn(key: jax.Array, cfg: ModelConfig) -> Tuple[Params, State]:
             "b": init.zeros((cfg.image_channels,)),
         },
     }
+    if cfg.num_classes > 0:
+        # class embedding ADDED to z (shape-preserving conditioning); small
+        # init keeps early training close to the unconditional dynamics.
+        ek = jax.random.fold_in(keys[0], 0x434C53)
+        params["embed"] = jax.random.normal(
+            ek, (cfg.num_classes, cfg.latent_dim), jnp.float32) * 0.02
     state: State = {"fc_bn": bn_init(n_fc), "blocks": []}
     for i, (cin, cout) in enumerate(blocks):
         kw, kb = keys[3 + 2 * i], keys[4 + 2 * i]
@@ -94,8 +100,12 @@ def apply_fn(
     train: bool,
     compute_dtype=None,
     packed_output: bool = False,
+    y: jax.Array | None = None,
 ) -> Tuple[jax.Array, State]:
     """z: (N, latent_dim) -> image (N, H, W, C) in [-1, 1]; returns new BN state.
+
+    ``y`` (N,) int32 class labels — required iff cfg.num_classes > 0
+    (conditional v2.0 path): z is shifted by a learned class embedding.
 
     ``packed_output=True`` (train path, 1-channel models only) runs the whole
     small-channel TAIL — every upsample block with Cout <= 64 plus the final
@@ -112,6 +122,10 @@ def apply_fn(
     if packed_output and cfg.image_channels != 1:
         raise ValueError("packed_output requires 1-channel images")
 
+    if cfg.num_classes > 0:
+        if y is None:
+            raise ValueError("conditional generator requires labels y")
+        z = z + jnp.take(jnp.asarray(params["embed"]), y, axis=0)
     h = linear(z, params["fc"]["w"], params["fc"]["b"], compute_dtype=compute_dtype)
     h, new_state["fc_bn"] = batch_norm(
         h, params["fc_bn"]["scale"], params["fc_bn"]["offset"], state["fc_bn"], train=train

@@ -65,15 +65,25 @@ def _packed(cfg: TrainConfig) -> bool:
 def d_step(
     state: TrainState, real: jax.Array, noise_key: jax.Array,
     drop_key: jax.Array, cfg: TrainConfig, d_tx,
+    y_real: jax.Array | None = None,
 ) -> Tuple[TrainState, Metrics]:
-    """One discriminator update on a real batch + freshly generated fakes."""
+    """One discriminator update on a real batch + freshly generated fakes.
+
+    Conditional (cfg.model.num_classes > 0): ``y_real`` labels the real
+    batch; fake labels are drawn uniformly and fed to both G and D.
+    """
     cdt = _dtype(cfg)
     packed = _packed(cfg)
     b = real.shape[0]
+    conditional = cfg.model.num_classes > 0
+    y_fake = None
+    if conditional:
+        noise_key, yk = jax.random.split(noise_key)
+        y_fake = jax.random.randint(yk, (b,), 0, cfg.model.num_classes)
     z = generator.generate_latent(noise_key, b, cfg.model)
     fake, g_bn = generator.apply_fn(
         state.g_params, state.g_bn, z, cfg.model, train=True,
-        compute_dtype=cdt, packed_output=packed)
+        compute_dtype=cdt, packed_output=packed, y=y_fake)
     fake = jax.lax.stop_gradient(fake)
     if packed:
         from siggan_tpu.ops.packed import space_to_depth
@@ -87,10 +97,14 @@ def d_step(
     # reference's two sequential forwards ran two — same fixed point.
     both = jnp.concatenate([real.astype(fake.dtype), fake], axis=0)
 
+    y_both = (jnp.concatenate([y_real, y_fake], axis=0)
+              if conditional else None)
+
     def loss_fn(d_params):
         logits, d_state = discriminator.apply_fn(
             d_params, state.d_state, both, cfg.model,
-            train=True, rng=drop_key, compute_dtype=cdt, packed_input=packed)
+            train=True, rng=drop_key, compute_dtype=cdt, packed_input=packed,
+            y=y_both)
         logits_r, logits_f = logits[:b], logits[b:]
         loss = _bce_mean(logits_r, cfg.label_smoothing) + _bce_mean(logits_f, 0.0)
         return loss, (d_state, logits_r, logits_f)
@@ -123,15 +137,20 @@ def g_step(
     """One generator update (non-saturating loss through a train-mode D)."""
     cdt = _dtype(cfg)
     packed = _packed(cfg)
+    y = None
+    if cfg.model.num_classes > 0:
+        noise_key, yk = jax.random.split(noise_key)
+        y = jax.random.randint(yk, (batch_size,), 0, cfg.model.num_classes)
     z = generator.generate_latent(noise_key, batch_size, cfg.model)
 
     def loss_fn(g_params):
         fake, g_bn = generator.apply_fn(
             g_params, state.g_bn, z, cfg.model, train=True,
-            compute_dtype=cdt, packed_output=packed)
+            compute_dtype=cdt, packed_output=packed, y=y)
         logits, d_state = discriminator.apply_fn(
             state.d_params, state.d_state, fake, cfg.model,
-            train=True, rng=drop_key, compute_dtype=cdt, packed_input=packed)
+            train=True, rng=drop_key, compute_dtype=cdt, packed_input=packed,
+            y=y)
         return _bce_mean(logits, 1.0), (g_bn, d_state, logits)
 
     (loss, (g_bn, d_state, logits)), grads = jax.value_and_grad(
@@ -238,7 +257,12 @@ def make_train_step(cfg: TrainConfig):
     drop_stream = rnglib.stream(root, rnglib.STREAM_DROPOUT)
     aug_stream = rnglib.stream(root, rnglib.STREAM_AUGMENT)
 
-    def train_step(state: TrainState, real: jax.Array) -> Tuple[TrainState, Metrics]:
+    conditional = cfg.model.num_classes > 0
+
+    def train_step(state: TrainState, real, y_real: jax.Array | None = None
+                   ) -> Tuple[TrainState, Metrics]:
+        if conditional and y_real is None:
+            real, y_real = real          # accept a (images, labels) pair
         if cfg.augment:
             # Augmentation lives INSIDE the fused step: one dispatch per batch
             # matters on high-latency device links, and XLA overlaps the warp
@@ -254,6 +278,9 @@ def make_train_step(cfg: TrainConfig):
             if cfg.n_critic != 1:
                 raise ValueError("share_fakes requires n_critic == 1 "
                                  "(ablation-trainer semantics)")
+            if conditional:
+                raise NotImplementedError(
+                    "share_fakes + conditional not implemented")
             state, metrics = shared_fakes_step(
                 state, real, nk, dk, cfg, d_tx, g_tx)
             return state.replace(step=state.step + 1), metrics
@@ -263,7 +290,8 @@ def make_train_step(cfg: TrainConfig):
 
         metrics: Metrics = {}
         for i in range(cfg.n_critic):  # static unroll; n_critic is tiny
-            state, metrics = d_step(state, real, nkeys[i], dkeys[i], cfg, d_tx)
+            state, metrics = d_step(state, real, nkeys[i], dkeys[i], cfg,
+                                    d_tx, y_real)
         state, g_metrics = g_step(
             state, real.shape[0], nkeys[-1], dkeys[-1], cfg, g_tx)
         metrics.update(g_metrics)
@@ -295,13 +323,16 @@ def make_resident_train_step(cfg: TrainConfig, n_images: int):
     base_step = make_train_step(cfg)
     data_stream = rnglib.stream(rnglib.root_key(cfg.seed), rnglib.STREAM_DATA)
 
-    def train_step(state: TrainState, images: jax.Array):
+    def train_step(state: TrainState, images: jax.Array,
+                   labels: jax.Array | None = None):
         epoch = state.step // steps_per_epoch
         bidx = state.step % steps_per_epoch
         perm = jax.random.permutation(rnglib.at_step(data_stream, epoch), n_images)
         idx = jax.lax.dynamic_slice(
             perm, (bidx * cfg.batch_size,), (cfg.batch_size,))
         real = jnp.take(images, idx, axis=0)
+        if cfg.model.num_classes > 0:
+            return base_step(state, real, jnp.take(labels, idx, axis=0))
         return base_step(state, real)
 
     return train_step, steps_per_epoch
@@ -333,7 +364,10 @@ def make_resident_multi_step(cfg: TrainConfig, n_images: int, scan_steps: int):
     data_stream = rnglib.stream(rnglib.root_key(cfg.seed), rnglib.STREAM_DATA)
     n_epochs = scan_steps // steps_per_epoch + 2
 
-    def multi_step(state: TrainState, images: jax.Array):
+    conditional = cfg.model.num_classes > 0
+
+    def multi_step(state: TrainState, images: jax.Array,
+                   labels: jax.Array | None = None):
         e0 = state.step // steps_per_epoch
         perms = jax.vmap(lambda e: jax.random.permutation(
             rnglib.at_step(data_stream, e0 + e), n_images))(
@@ -344,7 +378,10 @@ def make_resident_multi_step(cfg: TrainConfig, n_images: int, scan_steps: int):
             bidx = s.step % steps_per_epoch
             idx = jax.lax.dynamic_slice(
                 perms, (e_rel, bidx * cfg.batch_size), (1, cfg.batch_size))[0]
-            return base_step(s, jnp.take(images, idx, axis=0))
+            batch = jnp.take(images, idx, axis=0)
+            if conditional:
+                return base_step(s, batch, jnp.take(labels, idx, axis=0))
+            return base_step(s, batch)
 
         return jax.lax.scan(body, state, None, length=scan_steps)
 
@@ -352,10 +389,11 @@ def make_resident_multi_step(cfg: TrainConfig, n_images: int, scan_steps: int):
 
 
 def make_eval_generate(cfg: TrainConfig):
-    """Jittable inference-mode generation: (state, z) -> images in [-1,1]."""
-    def generate(state: TrainState, z: jax.Array) -> jax.Array:
+    """Jittable inference-mode generation: (state, z[, y]) -> images in [-1,1]."""
+    def generate(state: TrainState, z: jax.Array,
+                 y: jax.Array | None = None) -> jax.Array:
         img, _ = generator.apply_fn(
             state.g_params, state.g_bn, z, cfg.model,
-            train=False, compute_dtype=_dtype(cfg))
+            train=False, compute_dtype=_dtype(cfg), y=y)
         return img.astype(jnp.float32)
     return generate

@@ -40,8 +40,16 @@ class GANTrainer:
     def __init__(self, cfg: TrainConfig, images: np.ndarray,
                  stop_file: Optional[str] = None,
                  use_mesh: bool = True,
-                 experiment_name: Optional[str] = None):
+                 experiment_name: Optional[str] = None,
+                 labels: Optional[np.ndarray] = None):
         self.cfg = cfg
+        self.conditional = cfg.model.num_classes > 0
+        if self.conditional:
+            if labels is None:
+                raise ValueError("conditional training requires labels")
+            if not cfg.resident_data:
+                raise ValueError("conditional training uses the resident path")
+        self.labels = labels
         self.stop_file = Path(stop_file) if stop_file else None
         self.mesh = make_mesh(cfg.mesh) if use_mesh else None
         self.logger = GANLogger(cfg.log_dir, experiment_name)
@@ -71,6 +79,8 @@ class GANTrainer:
             else:
                 self.images_dev = (jax.device_put(images, batch_sharding)
                                    if batch_sharding else jax.device_put(images))
+            self.labels_dev = (jax.device_put(labels) if self.conditional
+                               else None)
             spe = n_global // cfg.batch_size
             self.scan_steps = cfg.scan_steps or max(1, min(spe, 64))
             step_fn, self.steps_per_epoch = make_resident_multi_step(
@@ -86,9 +96,12 @@ class GANTrainer:
         state = create_train_state(cfg)
         if self.mesh is not None:
             state = replicate(self.mesh, state)
+            shardings = [NamedSharding(self.mesh, P()), batch_sharding]
+            if self.conditional:
+                shardings.append(batch_sharding)   # labels shard like images
             self._step_fn = jax.jit(
                 step_fn,
-                in_shardings=(NamedSharding(self.mesh, P()), batch_sharding),
+                in_shardings=tuple(shardings),
                 donate_argnums=(0,))
         else:
             self._step_fn = jax.jit(step_fn, donate_argnums=(0,))
@@ -129,8 +142,13 @@ class GANTrainer:
         return self.stop_file is not None and self.stop_file.exists()
 
     def _sample_grid(self, epoch: int) -> Path:
-        imgs = np.asarray(jax.device_get(
-            self._generate(self.state, self.fixed_noise)))
+        if self.conditional:
+            y = jnp.arange(self.cfg.fixed_noise_samples) % self.cfg.model.num_classes
+            imgs = np.asarray(jax.device_get(
+                self._generate(self.state, self.fixed_noise, y)))
+        else:
+            imgs = np.asarray(jax.device_get(
+                self._generate(self.state, self.fixed_noise)))
         return save_sample_grid(
             imgs, Path(self.cfg.sample_dir) / f"epoch_{epoch:04d}.png")
 
@@ -191,8 +209,11 @@ class GANTrainer:
                     # vs the reference's 1 — set scan_steps=1 to match).
                     remaining = self.steps_per_epoch
                     while remaining > 0:
-                        self.state, metrics = self._step_fn(
-                            self.state, self.images_dev)
+                        self.state, metrics = (
+                            self._step_fn(self.state, self.images_dev,
+                                          self.labels_dev)
+                            if self.conditional else
+                            self._step_fn(self.state, self.images_dev))
                         device_metrics.append(metrics)  # each (K,) stacked
                         n_steps += min(self.scan_steps, remaining)
                         remaining -= self.scan_steps
