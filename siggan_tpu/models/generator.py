@@ -61,7 +61,13 @@ def init_fn(key: jax.Array, cfg: ModelConfig) -> Tuple[Params, State]:
             "w": init.linear_w(keys[0], (cfg.latent_dim, n_fc)),
             "b": init.zeros((n_fc,)),
         },
-        "fc_bn": {"scale": init.bn_scale(keys[1], n_fc), "offset": init.bn_offset(n_fc)},
+        "fc_bn": ({"scale": init.bn_scale(keys[1], n_fc),
+                   "offset": init.bn_offset(n_fc)}
+                  if cfg.num_classes == 0 else
+                  {"scale": jnp.tile(init.bn_scale(keys[1], n_fc)[None],
+                                     (cfg.num_classes, 1)),
+                   "offset": jnp.zeros((cfg.num_classes, n_fc),
+                                       jnp.float32)}),
         "blocks": [],
         "final": {
             "w": init.conv_w(keys[2], (3, 3, blocks[-1][1], cfg.image_channels)),
@@ -69,20 +75,41 @@ def init_fn(key: jax.Array, cfg: ModelConfig) -> Tuple[Params, State]:
         },
     }
     if cfg.num_classes > 0:
-        # class embedding ADDED to z (shape-preserving conditioning); small
-        # init keeps early training close to the unconditional dynamics.
+        # class embedding ADDED to z (shape-preserving conditioning). Unit
+        # scale, comparable to z ~ N(0, I): a 0.02-scale init measured as a
+        # near-no-op (class steering at chance after 200 epochs); at 1.0 the
+        # classes start linearly separated in latent space.
         ek = jax.random.fold_in(keys[0], 0x434C53)
         params["embed"] = jax.random.normal(
-            ek, (cfg.num_classes, cfg.latent_dim), jnp.float32) * 0.02
+            ek, (cfg.num_classes, cfg.latent_dim), jnp.float32)
     state: State = {"fc_bn": bn_init(n_fc), "blocks": []}
     for i, (cin, cout) in enumerate(blocks):
         kw, kb = keys[3 + 2 * i], keys[4 + 2 * i]
+        if cfg.num_classes == 0:
+            bn_p = {"scale": init.bn_scale(kb, cout),
+                    "offset": init.bn_offset(cout)}
+        else:
+            # CLASS-CONDITIONAL BatchNorm: per-writer gain/bias (the
+            # standard cGAN conditioning; a plain z-shift measured at
+            # chance-level class steering).
+            bn_p = {"scale": jnp.tile(init.bn_scale(kb, cout)[None],
+                                      (cfg.num_classes, 1)),
+                    "offset": jnp.zeros((cfg.num_classes, cout), jnp.float32)}
         params["blocks"].append({
             "w": init.conv_w(kw, (4, 4, cin, cout)),  # no bias: BN follows
-            "bn": {"scale": init.bn_scale(kb, cout), "offset": init.bn_offset(cout)},
+            "bn": bn_p,
         })
         state["blocks"].append(bn_init(cout))
     return params, state
+
+
+def _bn_affine(p, y):
+    """Conditional BN: select per-sample (scale, offset) rows for labels y;
+    unconditional params pass through unchanged."""
+    if y is None:
+        return p["scale"], p["offset"]
+    return (jnp.take(jnp.asarray(p["scale"]), y, axis=0),
+            jnp.take(jnp.asarray(p["offset"]), y, axis=0))
 
 
 def _act(x: jax.Array, cfg: ModelConfig) -> jax.Array:
@@ -127,8 +154,9 @@ def apply_fn(
             raise ValueError("conditional generator requires labels y")
         z = z + jnp.take(jnp.asarray(params["embed"]), y, axis=0)
     h = linear(z, params["fc"]["w"], params["fc"]["b"], compute_dtype=compute_dtype)
+    fc_a, fc_b = _bn_affine(params["fc_bn"], y)
     h, new_state["fc_bn"] = batch_norm(
-        h, params["fc_bn"]["scale"], params["fc_bn"]["offset"], state["fc_bn"], train=train
+        h, fc_a, fc_b, state["fc_bn"], train=train
     )
     h = _act(h, cfg)
     h = jnp.reshape(h, (h.shape[0], 4, 4, c0))
@@ -149,15 +177,14 @@ def apply_fn(
         else:
             h = conv_transpose2d(h, p["w"], stride=2, padding=1,
                                  compute_dtype=compute_dtype)
+        bn_a, bn_b = _bn_affine(p["bn"], y)
         if packed_now:
             from siggan_tpu.ops.norm import batch_norm_packed
             h, bs = batch_norm_packed(
-                h, p["bn"]["scale"], p["bn"]["offset"], state["blocks"][i],
-                train=train)
+                h, bn_a, bn_b, state["blocks"][i], train=train)
         else:
             h, bs = batch_norm(
-                h, p["bn"]["scale"], p["bn"]["offset"], state["blocks"][i],
-                train=train)
+                h, bn_a, bn_b, state["blocks"][i], train=train)
         new_state["blocks"].append(bs)
         h = _act(h, cfg)
 

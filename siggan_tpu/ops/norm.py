@@ -69,6 +69,10 @@ def batch_norm(
     # f32 round-trip of the full activation); statistics above stay f32.
     a = scale.astype(jnp.float32) * jax.lax.rsqrt(var + eps)
     b = offset.astype(jnp.float32) - mean * a
+    if a.ndim == 2 and x.ndim == 4:
+        # per-SAMPLE affine (conditional BN: rows already selected by label)
+        a = a[:, None, None, :]
+        b = b[:, None, None, :]
     y = x * a.astype(x.dtype) + b.astype(x.dtype)
     return y, new_state
 
@@ -107,6 +111,11 @@ def batch_norm_packed(
         new_state = state
     a = scale.astype(jnp.float32) * jax.lax.rsqrt(var + eps)
     b = offset.astype(jnp.float32) - mean * a
-    a4 = jnp.tile(a, 4).astype(x.dtype)
-    b4 = jnp.tile(b, 4).astype(x.dtype)
+    if a.ndim == 2:
+        # per-SAMPLE affine (conditional BN), tiled across the 4 phases
+        a4 = jnp.tile(a, (1, 4))[:, None, None, :].astype(x.dtype)
+        b4 = jnp.tile(b, (1, 4))[:, None, None, :].astype(x.dtype)
+    else:
+        a4 = jnp.tile(a, 4).astype(x.dtype)
+        b4 = jnp.tile(b, 4).astype(x.dtype)
     return x * a4 + b4, new_state
