@@ -38,7 +38,7 @@ SIDECAR = "config.json"
 
 def _to_save_tree(state: TrainState, *, epoch: int, fixed_noise: jax.Array,
                   best_g_loss: float) -> Dict[str, Any]:
-    return {
+    tree = {
         "step": state.step,
         "epoch": jnp.asarray(epoch, jnp.int32),
         "g_params": state.g_params,
@@ -50,6 +50,11 @@ def _to_save_tree(state: TrainState, *, epoch: int, fixed_noise: jax.Array,
         "fixed_noise": fixed_noise,
         "best_g_loss": jnp.asarray(best_g_loss, jnp.float32),
     }
+    if state.g_ema is not None:
+        # EMA shadow rides in the checkpoint only when tracked, so pre-EMA
+        # checkpoints keep their layout and still restore.
+        tree["g_ema"] = state.g_ema
+    return tree
 
 
 class CheckpointManager:
@@ -92,6 +97,9 @@ class CheckpointManager:
             is_best = best_fid is None or fid < best_fid
         elif "best_fid" in idx:
             is_best = False          # don't mix criteria: FID epochs only
+            print(f"WARNING: checkpoint epoch {epoch} saved without a FID "
+                  "into a FID-tracked index — it cannot become 'best' "
+                  "(align fid_interval with checkpoint_interval)", flush=True)
         else:
             is_best = g_loss is not None and (best is None or g_loss < best)
         tree = _to_save_tree(
@@ -143,7 +151,8 @@ class CheckpointManager:
             step=jnp.asarray(tree["step"]),
             g_params=tree["g_params"], g_bn=tree["g_bn"],
             d_params=tree["d_params"], d_state=tree["d_state"],
-            g_opt=tree["g_opt"], d_opt=tree["d_opt"])
+            g_opt=tree["g_opt"], d_opt=tree["d_opt"],
+            g_ema=tree.get("g_ema"))
         extras = {
             "epoch": int(tree["epoch"]),
             "fixed_noise": jnp.asarray(tree["fixed_noise"]),
@@ -169,6 +178,9 @@ def load_generator(directory: str | Path, which: str | int = "latest"):
     if out is None:
         raise FileNotFoundError(f"no checkpoint under {directory} ({which})")
     state, _ = out
+    if state.g_ema is not None:
+        # EMA-tracked runs ship the shadow weights (what eval/FID scored).
+        return state.g_ema["params"], state.g_ema["bn"], cfg
     return state.g_params, state.g_bn, cfg
 
 

@@ -52,11 +52,13 @@ def _maxpool3s2(x: jax.Array) -> jax.Array:
 
 
 def _avgpool3s1p1(x: jax.Array) -> jax.Array:
+    # torchvision's inception blocks call F.avg_pool2d(x, 3, 1, 1) with the
+    # DEFAULT count_include_pad=True: the divisor is 9 even at the edges
+    # (pad zeros count). pytorch-fid patches this to False, but the
+    # reference (utils/metrics.py:27) uses torchvision directly.
     s = lax.reduce_window(x, 0.0, lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
                           [(0, 0), (1, 1), (1, 1), (0, 0)])
-    c = lax.reduce_window(jnp.ones_like(x), 0.0, lax.add, (1, 3, 3, 1),
-                          (1, 1, 1, 1), [(0, 0), (1, 1), (1, 1), (0, 0)])
-    return s / c
+    return s / 9.0
 
 
 def _init_bconv(key, kh, kw, cin, cout) -> Dict:

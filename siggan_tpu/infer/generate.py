@@ -77,8 +77,17 @@ class GeneratorSession:
         writer's class; None draws a uniform class per image (or runs
         unconditionally for v1.x models).
         """
-        stream = rnglib.stream(rnglib.root_key(seed), rnglib.STREAM_EVAL)
         conditional = self.cfg.num_classes > 0
+        if class_id is not None:
+            if not conditional:
+                raise ValueError(
+                    "class_id given but this checkpoint is unconditional "
+                    "(num_classes == 0) — it would be silently ignored")
+            if not 0 <= class_id < self.cfg.num_classes:
+                raise ValueError(
+                    f"class_id {class_id} out of range for "
+                    f"num_classes={self.cfg.num_classes}")
+        stream = rnglib.stream(rnglib.root_key(seed), rnglib.STREAM_EVAL)
         outs = []
         done = 0
         for bidx in range(-(-n // batch_size)):

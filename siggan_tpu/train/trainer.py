@@ -76,11 +76,14 @@ class GANTrainer:
                     raise ValueError("multi-process training requires a mesh")
                 self.images_dev = shard_host_local(
                     self.mesh, images, cfg.mesh.data_axis)
+                self.labels_dev = (shard_host_local(
+                    self.mesh, labels, cfg.mesh.data_axis)
+                    if self.conditional else None)
             else:
                 self.images_dev = (jax.device_put(images, batch_sharding)
                                    if batch_sharding else jax.device_put(images))
-            self.labels_dev = (jax.device_put(labels) if self.conditional
-                               else None)
+                self.labels_dev = (jax.device_put(labels) if self.conditional
+                                   else None)
             spe = n_global // cfg.batch_size
             self.scan_steps = cfg.scan_steps or max(1, min(spe, 64))
             step_fn, self.steps_per_epoch = make_resident_multi_step(
@@ -120,12 +123,23 @@ class GANTrainer:
         self._fid_scorer = None
         self._last_fid: Optional[tuple] = None   # (epoch, fid)
         if cfg.fid_interval > 0:
+            if cfg.checkpoint_interval % cfg.fid_interval != 0:
+                print(f"WARNING: fid_interval={cfg.fid_interval} does not "
+                      f"divide checkpoint_interval={cfg.checkpoint_interval}; "
+                      "checkpoints saved without a FID can never become "
+                      "'best' once a FID-best exists", flush=True)
             rs = np.random.RandomState(cfg.seed)
             sel = rs.permutation(len(images))[:cfg.fid_samples]
             self._fid_real = np.asarray(images[sel], np.float32)
             self._fid_noise = jax.random.normal(
                 rnglib.stream(rnglib.root_key(cfg.seed), rnglib.STREAM_EVAL),
                 (cfg.fid_samples, cfg.model.latent_dim), jnp.float32)
+            # Fixed per-sample class labels so conditional FID evals are
+            # comparable epoch to epoch (and _generate gets the labels the
+            # conditional generator requires).
+            self._fid_labels = (
+                jnp.arange(cfg.fid_samples) % cfg.model.num_classes
+                if self.conditional else None)
 
     def _compute_fid(self) -> float:
         if self._fid_scorer is None:
@@ -133,8 +147,9 @@ class GANTrainer:
             self._fid_scorer = FIDScorer()
         fakes = []
         for s in range(0, self.cfg.fid_samples, 256):
+            y = (self._fid_labels[s:s + 256] if self.conditional else None)
             fakes.append(np.asarray(jax.device_get(
-                self._generate(self.state, self._fid_noise[s:s + 256]))))
+                self._generate(self.state, self._fid_noise[s:s + 256], y))))
         return self._fid_scorer.fid(self._fid_real, np.concatenate(fakes))
 
     # ------------------------------------------------------------------

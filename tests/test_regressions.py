@@ -123,3 +123,71 @@ def test_flatten_leaves_matches_plain_adam():
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7)
+
+
+# ---- round-2 ADVICE findings ------------------------------------------------
+
+@pytest.mark.slow
+def test_conditional_trainer_with_fid_interval(tmp_path):
+    """ADVICE r2 (medium): conditional training with fid_interval>0 crashed at
+    the first FID epoch because _compute_fid generated without labels.
+    Slow lane: compiles the 299px InceptionV3 forward on CPU (~90 s)."""
+    from siggan_tpu.data.synthetic import generate_labeled_dataset
+    from siggan_tpu.train.trainer import GANTrainer
+
+    images, labels = generate_labeled_dataset(4, 8, size=64, seed=3)
+    cfg = _cfg(tmp_path, model=ModelConfig(latent_dim=8, image_size=64,
+                                           base_features=16, num_classes=4),
+               epochs=1, fid_interval=1, fid_samples=16)
+    tr = GANTrainer(cfg, images, use_mesh=False, labels=labels)
+    summary = tr.train(epochs=1)
+    assert summary["epochs_logged"] == 1
+    assert np.isfinite(tr.logger.metrics[-1]["fid"])
+
+
+def test_class_id_validated(tmp_path):
+    """ADVICE r2 (low): class_id must be rejected for unconditional
+    checkpoints and range-checked for conditional ones."""
+    from siggan_tpu.core.state import create_train_state
+    from siggan_tpu.infer.generate import GeneratorSession
+
+    uncond = _cfg(tmp_path)
+    st = create_train_state(uncond)
+    sess = GeneratorSession(st.g_params, st.g_bn, uncond.model,
+                            compute_dtype=None)
+    with pytest.raises(ValueError, match="unconditional"):
+        sess.sample(2, batch_size=2, class_id=0)
+
+    cond_model = ModelConfig(latent_dim=8, image_size=64, base_features=16,
+                             num_classes=4)
+    st2 = create_train_state(_cfg(tmp_path, model=cond_model))
+    sess2 = GeneratorSession(st2.g_params, st2.g_bn, cond_model,
+                             compute_dtype=None)
+    with pytest.raises(ValueError, match="out of range"):
+        sess2.sample(2, batch_size=2, class_id=4)
+    assert sess2.sample(2, batch_size=2, class_id=3).shape == (2, 64, 64, 1)
+
+
+def test_fidless_save_into_fid_index_warns(tmp_path, capsys):
+    """ADVICE r2 (low): saving fid=None into an index that has best_fid
+    silently froze the 'best' alias; it now warns."""
+    from siggan_tpu.ckpt.manager import CheckpointManager
+
+    cfg = _cfg(tmp_path)
+    state = create_train_state(cfg)
+    noise = jnp.zeros((cfg.fixed_noise_samples, cfg.model.latent_dim))
+    mgr = CheckpointManager(tmp_path / "ck2", cfg)
+    mgr.save(state, epoch=0, fixed_noise=noise, g_loss=1.0, fid=10.0)
+    mgr.save(state, epoch=1, fixed_noise=noise, g_loss=0.5, fid=None)
+    assert "cannot become 'best'" in capsys.readouterr().out
+    assert mgr.available()["best"] == 0
+
+
+def test_trainer_warns_on_misaligned_fid_interval(tmp_path, capsys):
+    from siggan_tpu.train.trainer import GANTrainer
+
+    cfg = _cfg(tmp_path, fid_interval=3, checkpoint_interval=4, fid_samples=8)
+    images = (np.random.RandomState(0).rand(16, 64, 64, 1) * 2 - 1
+              ).astype(np.float32)
+    GANTrainer(cfg, images, use_mesh=False)
+    assert "does not divide checkpoint_interval" in capsys.readouterr().out
