@@ -66,6 +66,12 @@ def parse_arguments(argv=None) -> argparse.Namespace:
                    help="score a relative FID every N epochs; the 'best' "
                         "checkpoint alias then follows lowest FID (0 = off, "
                         "reference-faithful best-G-loss)")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="generator weight EMA decay for eval/sampling "
+                        "(e.g. 0.999; 0 = off)")
+    p.add_argument("--aux_weight", type=float, default=0.0,
+                   help="AC-GAN auxiliary classifier loss weight "
+                        "(conditional models; adds a class head to D)")
     return p.parse_args(argv)
 
 
@@ -80,7 +86,8 @@ def build_config(args: argparse.Namespace):
     return TrainConfig(
         model=ModelConfig(latent_dim=args.latent_dim, image_size=args.image_size,
                           use_spectral_norm=args.spectral_norm,
-                          num_classes=args.num_classes),
+                          num_classes=args.num_classes,
+                          aux_classifier=args.aux_weight > 0),
         optim=OptimConfig(g_lr=args.g_lr, d_lr=args.d_lr, beta1=args.beta1,
                           beta2=args.beta2, gradient_clip_value=args.gradient_clip),
         mesh=MeshConfig(num_data=args.num_data_devices),
@@ -93,6 +100,7 @@ def build_config(args: argparse.Namespace):
         data_dir=args.data_dir, checkpoint_dir=ckpt, sample_dir=sample,
         log_dir=log, augment=not args.no_augment, hflip=args.hflip,
         profile_dir=args.profile_dir, fid_interval=args.fid_interval,
+        ema_decay=args.ema_decay, aux_weight=args.aux_weight,
     )
 
 

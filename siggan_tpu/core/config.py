@@ -43,6 +43,13 @@ class ModelConfig:
     # here). 0 = unconditional (v1.x). When > 0: G adds a learned per-class
     # embedding to z; D scores with a projection head (logit += <emb_y, feat>).
     num_classes: int = 0
+    # AC-GAN auxiliary classifier head on D (conditional models only): a
+    # second linear head over the pre-classifier features predicting the
+    # writer class. Trained with TrainConfig.aux_weight; strengthens class
+    # steering beyond the projection head (Odena et al. 2017). Part of the
+    # v2.0 conditional capability the reference registry plans
+    # (/root/reference/model_versions.yaml:74-97).
+    aux_classifier: bool = False
     use_spectral_norm: bool = False
     dropout: float = 0.25          # discriminator Dropout2d rate
     leaky_slope: float = 0.2
@@ -126,6 +133,24 @@ class TrainConfig:
     # follows lowest FID instead. 0 = off (reference-faithful best-G-loss).
     fid_interval: int = 0
     fid_samples: int = 512
+
+    # Generator weight EMA for evaluation (decay per step; 0 = off). The
+    # training path keeps updating the raw weights; sampling, FID scoring
+    # and checkpointed "best" selection use the EMA shadow (params + BN
+    # running stats). Standard GAN practice with large FID gains on DCGANs;
+    # the reference has no equivalent (pure addition).
+    ema_decay: float = 0.0
+
+    # AC-GAN auxiliary classification loss weight (requires
+    # model.num_classes > 0 and model.aux_classifier). D learns to classify
+    # the writer of real AND fake samples; G is rewarded for fakes the
+    # classifier assigns to their conditioned class (Odena et al. 2017).
+    aux_weight: float = 0.0
+
+    # Class-balanced fake batches for conditional training: draw each
+    # step's fake labels as a random permutation of a balanced label set
+    # instead of iid uniform — every class gets gradient signal every step.
+    class_balanced_fakes: bool = True
 
     # Mode-collapse detector (train_vanilla_gan_signatures.py:104-165).
     mode_collapse_threshold: float = 0.1

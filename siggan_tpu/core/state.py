@@ -33,6 +33,10 @@ class TrainState:
     d_state: Any                    # spectral-norm power-iteration vectors
     g_opt: Any
     d_opt: Any
+    # EMA shadow of (g_params, g_bn) for evaluation, None when
+    # cfg.ema_decay == 0 (jax treats None as an empty subtree, so the pytree
+    # structure stays jit/scan-stable either way).
+    g_ema: Any = None
 
 
 def flatten_leaves(inner: optax.GradientTransformation) -> optax.GradientTransformation:
@@ -91,7 +95,29 @@ def create_train_state(cfg: TrainConfig) -> TrainState:
         d_state=d_state,
         g_opt=g_tx.init(g_params),
         d_opt=d_tx.init(d_params),
+        # The shadow starts as a COPY of the weights (tree_map(jnp.array)),
+        # never an alias: the trainer donates the whole state to the jitted
+        # step, and aliased leaves would put the same buffer in the donation
+        # list twice (XLA "donate the same buffer twice" runtime error).
+        g_ema=(jax.tree_util.tree_map(
+            jnp.array, {"params": g_params, "bn": g_bn})
+            if cfg.ema_decay > 0 else None),
     )
+
+
+def ema_update(g_ema: Any, g_params: Any, g_bn: Any, decay: float) -> Any:
+    """shadow <- decay * shadow + (1 - decay) * current, for params AND BN
+    running stats. Called from the generator update inside the fused step."""
+    new = {"params": g_params, "bn": g_bn}
+    return jax.tree_util.tree_map(
+        lambda e, p: decay * e + (1.0 - decay) * p, g_ema, new)
+
+
+def eval_generator_weights(state: TrainState):
+    """(params, bn) to use for evaluation: the EMA shadow when tracked."""
+    if state.g_ema is not None:
+        return state.g_ema["params"], state.g_ema["bn"]
+    return state.g_params, state.g_bn
 
 
 def set_learning_rates(cfg: TrainConfig, g_lr: float | None = None,

@@ -57,6 +57,14 @@ def init_fn(key: jax.Array, cfg: ModelConfig) -> Tuple[Params, State]:
         params["class_embed"] = init.linear_w(
             jax.random.fold_in(keys[-1], 0x434C53),
             (cfg.num_classes, final_features))
+        if cfg.aux_classifier:
+            # AC-GAN auxiliary classifier head (Odena et al. 2017): a
+            # second linear readout predicting the writer class.
+            params["aux"] = {
+                "w": init.linear_w(jax.random.fold_in(keys[-1], 0x415558),
+                                   (final_features, cfg.num_classes)),
+                "b": init.zeros((cfg.num_classes,)),
+            }
     state: State = {"blocks": [], "fc": {}}
     for i, (cin, cout) in enumerate(blocks):
         params["blocks"].append({
@@ -81,8 +89,12 @@ def apply_fn(
     features: bool = False,
     packed_input: bool = False,
     y: jax.Array | None = None,
+    aux: bool = False,
 ) -> Tuple[jax.Array, State]:
     """x: (N,H,W,C) -> logits (N, 1) (or flattened features if features=True).
+
+    ``aux=True`` (AC-GAN head present) returns ((logits, aux_logits), state)
+    with aux_logits (N, num_classes) class predictions in f32.
 
     ``rng`` is required when ``train=True`` and dropout > 0.
 
@@ -129,6 +141,12 @@ def apply_fn(
         proj = jnp.sum(flat.astype(jnp.float32) * emb.astype(jnp.float32),
                        axis=-1, keepdims=True)
         logits = logits.astype(jnp.float32) + proj
+    if aux:
+        if "aux" not in params:
+            raise ValueError("aux=True requires cfg.aux_classifier params")
+        aux_logits = linear(flat, params["aux"]["w"], params["aux"]["b"],
+                            compute_dtype=None).astype(jnp.float32)
+        return (logits.astype(jnp.float32), aux_logits), new_state
     return logits.astype(jnp.float32), new_state
 
 

@@ -42,7 +42,8 @@ import optax
 
 from siggan_tpu.core import rng as rnglib
 from siggan_tpu.core.config import TrainConfig
-from siggan_tpu.core.state import TrainState, make_optimizers
+from siggan_tpu.core.state import (TrainState, ema_update,
+                                   eval_generator_weights, make_optimizers)
 from siggan_tpu.models import discriminator, generator
 
 Metrics = Dict[str, jax.Array]
@@ -51,6 +52,25 @@ Metrics = Dict[str, jax.Array]
 def _bce_mean(logits: jax.Array, label: float) -> jax.Array:
     labels = jnp.full_like(logits, label)
     return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, labels))
+
+
+def _ce_mean(logits: jax.Array, y: jax.Array) -> jax.Array:
+    return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), y))
+
+
+def _aux_on(cfg: TrainConfig) -> bool:
+    return (cfg.model.num_classes > 0 and cfg.model.aux_classifier
+            and cfg.aux_weight > 0)
+
+
+def _fake_labels(key: jax.Array, b: int, cfg: TrainConfig) -> jax.Array:
+    """Labels for this step's fakes: class-balanced permutation by default
+    (every class gets gradient signal every step), iid uniform otherwise."""
+    if cfg.class_balanced_fakes:
+        return jax.random.permutation(
+            key, jnp.arange(b, dtype=jnp.int32) % cfg.model.num_classes)
+    return jax.random.randint(key, (b,), 0, cfg.model.num_classes)
 
 
 def _dtype(cfg: TrainConfig):
@@ -79,7 +99,7 @@ def d_step(
     y_fake = None
     if conditional:
         noise_key, yk = jax.random.split(noise_key)
-        y_fake = jax.random.randint(yk, (b,), 0, cfg.model.num_classes)
+        y_fake = _fake_labels(yk, b, cfg)
     z = generator.generate_latent(noise_key, b, cfg.model)
     fake, g_bn = generator.apply_fn(
         state.g_params, state.g_bn, z, cfg.model, train=True,
@@ -100,16 +120,28 @@ def d_step(
     y_both = (jnp.concatenate([y_real, y_fake], axis=0)
               if conditional else None)
 
+    aux_on = _aux_on(cfg)
+
     def loss_fn(d_params):
-        logits, d_state = discriminator.apply_fn(
+        out, d_state = discriminator.apply_fn(
             d_params, state.d_state, both, cfg.model,
             train=True, rng=drop_key, compute_dtype=cdt, packed_input=packed,
-            y=y_both)
+            y=y_both, aux=aux_on)
+        logits, aux_logits = out if aux_on else (out, None)
         logits_r, logits_f = logits[:b], logits[b:]
         loss = _bce_mean(logits_r, cfg.label_smoothing) + _bce_mean(logits_f, 0.0)
-        return loss, (d_state, logits_r, logits_f)
+        aux_acc = None
+        if aux_on:
+            # AC-GAN: D learns the writer of reals AND fakes (Odena et al.
+            # 2017, eq. L_C maximized by both players).
+            loss = loss + cfg.aux_weight * (
+                _ce_mean(aux_logits[:b], y_real)
+                + _ce_mean(aux_logits[b:], y_fake))
+            aux_acc = jnp.mean(
+                (jnp.argmax(aux_logits[:b], -1) == y_real).astype(jnp.float32))
+        return loss, (d_state, logits_r, logits_f, aux_acc)
 
-    (loss, (d_state, logits_r, logits_f)), grads = jax.value_and_grad(
+    (loss, (d_state, logits_r, logits_f, aux_acc)), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(state.d_params)
     updates, d_opt = d_tx.update(grads, state.d_opt, state.d_params)
     d_params = optax.apply_updates(state.d_params, updates)
@@ -124,6 +156,8 @@ def d_step(
     }
     if cfg.log_grad_norms:
         metrics["d_grad_norm"] = optax.global_norm(grads)
+    if aux_acc is not None:
+        metrics["aux_acc_real"] = aux_acc
     metrics["d_accuracy"] = 0.5 * (metrics["d_acc_real"] + metrics["d_acc_fake"])
     new_state = state.replace(
         g_bn=g_bn, d_params=d_params, d_state=d_state, d_opt=d_opt)
@@ -137,21 +171,28 @@ def g_step(
     """One generator update (non-saturating loss through a train-mode D)."""
     cdt = _dtype(cfg)
     packed = _packed(cfg)
+    aux_on = _aux_on(cfg)
     y = None
     if cfg.model.num_classes > 0:
         noise_key, yk = jax.random.split(noise_key)
-        y = jax.random.randint(yk, (batch_size,), 0, cfg.model.num_classes)
+        y = _fake_labels(yk, batch_size, cfg)
     z = generator.generate_latent(noise_key, batch_size, cfg.model)
 
     def loss_fn(g_params):
         fake, g_bn = generator.apply_fn(
             g_params, state.g_bn, z, cfg.model, train=True,
             compute_dtype=cdt, packed_output=packed, y=y)
-        logits, d_state = discriminator.apply_fn(
+        out, d_state = discriminator.apply_fn(
             state.d_params, state.d_state, fake, cfg.model,
             train=True, rng=drop_key, compute_dtype=cdt, packed_input=packed,
-            y=y)
-        return _bce_mean(logits, 1.0), (g_bn, d_state, logits)
+            y=y, aux=aux_on)
+        logits, aux_logits = out if aux_on else (out, None)
+        loss = _bce_mean(logits, 1.0)
+        if aux_on:
+            # G is rewarded when D's classifier assigns the fake to its
+            # conditioned class — the steering signal.
+            loss = loss + cfg.aux_weight * _ce_mean(aux_logits, y)
+        return loss, (g_bn, d_state, logits)
 
     (loss, (g_bn, d_state, logits)), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(state.g_params)
@@ -166,6 +207,9 @@ def g_step(
         metrics["g_grad_norm"] = optax.global_norm(grads)
     new_state = state.replace(
         g_params=g_params, g_bn=g_bn, d_state=d_state, g_opt=g_opt)
+    if cfg.ema_decay > 0:
+        new_state = new_state.replace(g_ema=ema_update(
+            state.g_ema, g_params, g_bn, cfg.ema_decay))
     return new_state, metrics
 
 
@@ -241,6 +285,9 @@ def shared_fakes_step(
     new_state = state.replace(
         g_params=g_params, g_bn=g_bn, d_params=d_params, d_state=d_state,
         g_opt=g_opt, d_opt=d_opt)
+    if cfg.ema_decay > 0:
+        new_state = new_state.replace(g_ema=ema_update(
+            state.g_ema, g_params, g_bn, cfg.ema_decay))
     return new_state, metrics
 
 
@@ -389,11 +436,16 @@ def make_resident_multi_step(cfg: TrainConfig, n_images: int, scan_steps: int):
 
 
 def make_eval_generate(cfg: TrainConfig):
-    """Jittable inference-mode generation: (state, z[, y]) -> images in [-1,1]."""
+    """Jittable inference-mode generation: (state, z[, y]) -> images in [-1,1].
+
+    Uses the EMA shadow weights when ``cfg.ema_decay > 0`` (sample grids,
+    in-training FID and the FID-best checkpoint criterion all see the EMA
+    generator, which is what ships)."""
     def generate(state: TrainState, z: jax.Array,
                  y: jax.Array | None = None) -> jax.Array:
+        g_params, g_bn = eval_generator_weights(state)
         img, _ = generator.apply_fn(
-            state.g_params, state.g_bn, z, cfg.model,
+            g_params, g_bn, z, cfg.model,
             train=False, compute_dtype=_dtype(cfg), y=y)
         return img.astype(jnp.float32)
     return generate
