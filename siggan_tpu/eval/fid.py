@@ -19,12 +19,22 @@ from siggan_tpu.eval import inception
 
 
 class FIDScorer:
-    def __init__(self, params: Optional[Dict] = None, batch_size: int = 32):
-        self.backbone = "torchvision" if params is not None else "random-init"
-        self.params = params if params is not None else inception.init_params()
+    def __init__(self, params: Optional[Dict] = None, batch_size: int = 32,
+                 extract_fn=None, backbone: Optional[str] = None):
+        """Default: InceptionV3 features (converted torchvision weights when
+        ``params`` is given, fixed-seed random init otherwise). A custom
+        ``extract_fn`` (images -> (N, D) features) with a ``backbone`` tag
+        plugs in alternative feature spaces — see ``make_scorer``."""
+        if extract_fn is not None:
+            self.backbone = backbone or "custom"
+            self._extract = jax.jit(extract_fn)
+        else:
+            self.backbone = "torchvision" if params is not None else "random-init"
+            self.params = params if params is not None else inception.init_params()
+            self._extract = jax.jit(
+                lambda x: inception.apply(self.params,
+                                          inception.prepare_images(x)))
         self.batch_size = batch_size
-        self._extract = jax.jit(
-            lambda x: inception.apply(self.params, inception.prepare_images(x)))
 
     def features(self, images: np.ndarray) -> np.ndarray:
         """(N, H, W, 1|3) in [-1, 1] -> (N, 2048)."""
@@ -54,6 +64,68 @@ class FIDScorer:
             fr = (fr - mu) / sd
             ff = (ff - mu) / sd
         return frechet_distance(fr, ff)
+
+
+def make_scorer(spec: str = "random-init", batch_size: int = 32) -> FIDScorer:
+    """Build a FID scorer from a backbone spec string.
+
+    - ``"random-init"`` (default): fixed-seed random InceptionV3 — relative
+      metric, standardized by the real set's feature stats.
+    - ``"torchvision:<state_dict.pt>"``: converted pretrained InceptionV3,
+      comparable to the reference's absolute FID bands
+      (``/root/reference/src/utils/metrics.py:23-46``).
+    - ``"verifier:<ckpt.pkl>"``: DOMAIN-TRAINED backbone — the 512-d hidden
+      features of a signature-verifier CNN encoder trained in-environment
+      on real signatures (``siggan_tpu/verify``). Trained features
+      rank-order quality far closer to pretrained-Inception FID than random
+      features do (VERDICT r2 #4); values form their own band (report the
+      real-vs-real floor alongside). Images are resized to the encoder's
+      64px input when needed.
+    """
+    if spec in (None, "", "random-init"):
+        return FIDScorer(batch_size=batch_size)
+    kind, _, path = spec.partition(":")
+    if kind == "torchvision":
+        import torch
+
+        from siggan_tpu.eval.inception import convert_torch_state_dict
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        return FIDScorer(params=convert_torch_state_dict(sd),
+                         batch_size=batch_size)
+    if kind == "verifier":
+        from siggan_tpu.verify.models import encode
+        from siggan_tpu.verify.train import load_verifier
+        snap = load_verifier(path)
+        params = jax.tree_util.tree_map(jnp.asarray, snap["params"])
+        bn = jax.tree_util.tree_map(jnp.asarray, snap["bn"])
+
+        def extract(x):
+            if x.shape[-1] != 1:
+                x = jnp.mean(x, axis=-1, keepdims=True)
+            if x.shape[1] != 64 or x.shape[2] != 64:
+                x = jax.image.resize(x, (x.shape[0], 64, 64, 1), "bilinear")
+            feats, _ = encode(params, bn, x, train=False, return_hidden=True)
+            return feats
+
+        return FIDScorer(extract_fn=extract, backbone=f"verifier:{path}",
+                         batch_size=batch_size)
+    raise ValueError(f"unknown FID backbone spec: {spec!r}")
+
+
+def feature_diversity(scorer: FIDScorer, images: np.ndarray,
+                      window: int = 10) -> float:
+    """Mean pairwise L2 feature distance over the reference's sliding
+    window-of-10 pair scheme (``utils/metrics.py:103-115``) in the scorer's
+    feature space — the trained-backbone analogue of LPIPS diversity."""
+    n = len(images)
+    if n < 2:
+        return 0.0
+    feats = scorer.features(np.asarray(images))
+    dists = []
+    for i in range(n):
+        for j in range(i + 1, min(i + window, n)):
+            dists.append(float(np.linalg.norm(feats[i] - feats[j])))
+    return float(np.mean(dists))
 
 
 def frechet_distance(feat1: np.ndarray, feat2: np.ndarray) -> float:

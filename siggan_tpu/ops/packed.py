@@ -348,3 +348,48 @@ def pack_first_conv_p4_pixel(w: jax.Array) -> jax.Array:
         for pi_c in range(4):
             ps.append(_phase_block_s(wp, 4 - pi_r, 4 - pi_c, 4, 2)[:, :, None, :])
     return jnp.concatenate(ps, axis=2)        # (4,4,16,Co)
+
+
+def conv3_mc_as_matmul(h: jax.Array, wp: jax.Array,
+                       b: jax.Array | None = None,
+                       compute_dtype=None) -> jax.Array:
+    """conv2d(h, wp, b, stride=1, padding=1) for a packed-mc 3x3 kernel,
+    reformulated as [one K-dense 1x1 matmul to kh*kw*Q merged taps] + a
+    9-shift stencil sum.
+
+    Rationale (xprof, TPU v5e, 64px/b64): the direct (3,3,128,4) conv runs at
+    12 TF/s / 318 GiB/s — 4 output channels waste 124/128 MXU lanes and force
+    a pathological output layout; its dgrad (4 INPUT channels) measured
+    6.4 TF/s. Here the MXU contraction is K=128-dense with 36 output lanes
+    (Y = h @ W3), and the remaining work is an elementwise 9-slice sum the
+    fusion reads once. The backward inherits the good shapes: dh is a
+    36->128 matmul, the kernel grad a (128, 36) reduction.
+
+    Numerics: per-tap products accumulate in f32 inside the dot (MXU) and
+    across the 9 taps (explicit f32 sum); under compute_dtype=bfloat16 the
+    tap tensor Y is rounded to bf16 once — one more rounding than the fused
+    conv's single output rounding, bounded by bf16 eps on tap partial sums
+    (exactness vs the canonical pixel conv tested in tests/test_packed.py).
+    """
+    kh, kw, K, Q = wp.shape
+    n, R, S, K2 = h.shape
+    if K2 != K:
+        raise ValueError(f"channel mismatch: {h.shape} vs {wp.shape}")
+    if compute_dtype is not None:
+        h = h.astype(compute_dtype)
+        wp = wp.astype(compute_dtype)
+    W3 = jnp.transpose(wp, (2, 0, 1, 3)).reshape(K, kh * kw * Q)
+    y = jax.lax.dot_general(
+        h, W3, (((3,), (0,)), ((), ())),
+        preferred_element_type=(h.dtype if compute_dtype is not None
+                                else jnp.float32))
+    yp = jnp.pad(y, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)))
+    out = None
+    for dr in range(kh):
+        for dc in range(kw):
+            m0 = (dr * kw + dc) * Q
+            sl = yp[:, dr:dr + R, dc:dc + S, m0:m0 + Q].astype(jnp.float32)
+            out = sl if out is None else out + sl
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out.astype(y.dtype)

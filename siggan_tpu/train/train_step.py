@@ -86,11 +86,15 @@ def d_step(
     state: TrainState, real: jax.Array, noise_key: jax.Array,
     drop_key: jax.Array, cfg: TrainConfig, d_tx,
     y_real: jax.Array | None = None,
+    real_packed: bool = False,
 ) -> Tuple[TrainState, Metrics]:
     """One discriminator update on a real batch + freshly generated fakes.
 
     Conditional (cfg.model.num_classes > 0): ``y_real`` labels the real
     batch; fake labels are drawn uniformly and fed to both G and D.
+
+    ``real_packed``: the real batch is ALREADY in 2x2 space-to-depth form
+    (the resident pipeline packs in bulk at epoch granularity).
     """
     cdt = _dtype(cfg)
     packed = _packed(cfg)
@@ -105,7 +109,7 @@ def d_step(
         state.g_params, state.g_bn, z, cfg.model, train=True,
         compute_dtype=cdt, packed_output=packed, y=y_fake)
     fake = jax.lax.stop_gradient(fake)
-    if packed:
+    if packed and not real_packed:
         from siggan_tpu.ops.packed import space_to_depth
         real = space_to_depth(real)
 
@@ -216,6 +220,7 @@ def g_step(
 def shared_fakes_step(
     state: TrainState, real: jax.Array, noise_key: jax.Array,
     drop_key: jax.Array, cfg: TrainConfig, d_tx, g_tx,
+    real_packed: bool = False,
 ) -> Tuple[TrainState, Metrics]:
     """One D update + one G update sharing a SINGLE generator forward.
 
@@ -237,7 +242,7 @@ def shared_fakes_step(
         lambda p: generator.apply_fn(p, state.g_bn, z, cfg.model, train=True,
                                      compute_dtype=cdt, packed_output=packed),
         state.g_params)
-    if packed:
+    if packed and not real_packed:
         from siggan_tpu.ops.packed import space_to_depth
         real = space_to_depth(real)
     both = jnp.concatenate(
@@ -291,12 +296,16 @@ def shared_fakes_step(
     return new_state, metrics
 
 
-def make_train_step(cfg: TrainConfig):
+def make_train_step(cfg: TrainConfig, real_pre_packed: bool = False):
     """Build the fused (n_critic x D) + G step.
 
     Returned fn: ``(state, real_batch) -> (state, metrics)``; jit it with the
     batch sharded on the data axis. RNG derives from (cfg.seed, stream, step)
     — no key threading through the caller.
+
+    ``real_pre_packed``: the caller supplies real batches already in 2x2
+    space-to-depth (and compute-dtype) form — the resident pipeline's bulk
+    augment+pack path.
     """
     g_tx, d_tx = make_optimizers(cfg)
     root = rnglib.root_key(cfg.seed)
@@ -305,6 +314,9 @@ def make_train_step(cfg: TrainConfig):
     aug_stream = rnglib.stream(root, rnglib.STREAM_AUGMENT)
 
     conditional = cfg.model.num_classes > 0
+    if real_pre_packed and cfg.augment:
+        raise ValueError("real_pre_packed implies augmentation was applied "
+                         "in bulk — build with cfg.replace(augment=False)")
 
     def train_step(state: TrainState, real, y_real: jax.Array | None = None
                    ) -> Tuple[TrainState, Metrics]:
@@ -329,7 +341,8 @@ def make_train_step(cfg: TrainConfig):
                 raise NotImplementedError(
                     "share_fakes + conditional not implemented")
             state, metrics = shared_fakes_step(
-                state, real, nk, dk, cfg, d_tx, g_tx)
+                state, real, nk, dk, cfg, d_tx, g_tx,
+                real_packed=real_pre_packed)
             return state.replace(step=state.step + 1), metrics
 
         nkeys = jax.random.split(nk, cfg.n_critic + 1)
@@ -338,7 +351,8 @@ def make_train_step(cfg: TrainConfig):
         metrics: Metrics = {}
         for i in range(cfg.n_critic):  # static unroll; n_critic is tiny
             state, metrics = d_step(state, real, nkeys[i], dkeys[i], cfg,
-                                    d_tx, y_real)
+                                    d_tx, y_real,
+                                    real_packed=real_pre_packed)
         state, g_metrics = g_step(
             state, real.shape[0], nkeys[-1], dkeys[-1], cfg, g_tx)
         metrics.update(g_metrics)
@@ -346,6 +360,41 @@ def make_train_step(cfg: TrainConfig):
         return state, metrics
 
     return train_step
+
+
+def _use_bulk_augment(cfg: TrainConfig, n_images: int, n_aug: int) -> bool:
+    """Bulk augmentation is on when enabled and the per-window table of
+    augmented epochs fits comfortably in HBM (compute-dtype sized)."""
+    if not (cfg.augment and cfg.augment_bulk):
+        return False
+    itemsize = 2 if cfg.compute_dtype == "bfloat16" else 4
+    table_mb = (n_aug * n_images * cfg.model.image_size ** 2
+                * cfg.model.image_channels * itemsize) / 2 ** 20
+    return table_mb <= cfg.resident_max_mb
+
+
+def _bulk_augment_epoch(cfg: TrainConfig, images: jax.Array, epoch,
+                        aug_stream) -> jax.Array:
+    """Augment (and pack) the WHOLE resident dataset for one epoch.
+
+    Keying: one key per (epoch), split per image inside the warp — each image
+    gets a fresh transform each epoch, the same cadence as the reference's
+    per-draw torchvision transforms (data_loader_signatures.py:154) and as
+    the per-step in-step augment it replaces. Doing it at N=dataset instead
+    of N=batch moves the warp's band-tap loop from half-lane 64-image ops
+    (measured 52 us/step at 32-50 GiB/s) to full-lane bulk ops amortized
+    over an epoch of steps.
+    """
+    from siggan_tpu.data.augment import augment_batch_inner
+    out = augment_batch_inner(images, rnglib.at_step(aug_stream, epoch),
+                              hflip=cfg.hflip, dtype=_dtype(cfg))
+    dt = _dtype(cfg)
+    if dt is not None:
+        out = out.astype(dt)
+    if _packed(cfg):
+        from siggan_tpu.ops.packed import space_to_depth
+        out = space_to_depth(out)
+    return out
 
 
 def make_resident_train_step(cfg: TrainConfig, n_images: int):
@@ -359,6 +408,12 @@ def make_resident_train_step(cfg: TrainConfig, n_images: int):
     gather. Per-step host->device traffic is ZERO — on tunneled/high-latency
     links this is the difference between ~20 ms/step and ~3 ms/step.
 
+    Augmentation runs in BULK at epoch granularity (one key per epoch, one
+    transform per image per epoch — the cadence the reference's DataLoader
+    produces) and the batch gather reads the augmented, packed, compute-dtype
+    table; see ``_bulk_augment_epoch``. Set ``cfg.augment_bulk=False`` for
+    the per-step in-step augment.
+
     Returned fn: ``(state, images) -> (state, metrics)`` with images the
     full (N, H, W, C) resident array (shard it over the data axis; the
     gather's collective rides ICI).
@@ -367,8 +422,13 @@ def make_resident_train_step(cfg: TrainConfig, n_images: int):
     if steps_per_epoch < 1:
         raise ValueError(
             f"dataset ({n_images}) smaller than global batch ({cfg.batch_size})")
-    base_step = make_train_step(cfg)
-    data_stream = rnglib.stream(rnglib.root_key(cfg.seed), rnglib.STREAM_DATA)
+    bulk = _use_bulk_augment(cfg, n_images, 1)
+    inner_cfg = cfg.replace(augment=False) if bulk else cfg
+    base_step = make_train_step(inner_cfg,
+                                real_pre_packed=bulk and _packed(cfg))
+    root = rnglib.root_key(cfg.seed)
+    data_stream = rnglib.stream(root, rnglib.STREAM_DATA)
+    aug_stream = rnglib.stream(root, rnglib.STREAM_AUGMENT)
 
     def train_step(state: TrainState, images: jax.Array,
                    labels: jax.Array | None = None):
@@ -377,7 +437,9 @@ def make_resident_train_step(cfg: TrainConfig, n_images: int):
         perm = jax.random.permutation(rnglib.at_step(data_stream, epoch), n_images)
         idx = jax.lax.dynamic_slice(
             perm, (bidx * cfg.batch_size,), (cfg.batch_size,))
-        real = jnp.take(images, idx, axis=0)
+        src = (_bulk_augment_epoch(cfg, images, epoch, aug_stream)
+               if bulk else images)
+        real = jnp.take(src, idx, axis=0)
         if cfg.model.num_classes > 0:
             return base_step(state, real, jnp.take(labels, idx, axis=0))
         return base_step(state, real)
@@ -407,9 +469,24 @@ def make_resident_multi_step(cfg: TrainConfig, n_images: int, scan_steps: int):
     if steps_per_epoch < 1:
         raise ValueError(
             f"dataset ({n_images}) smaller than global batch ({cfg.batch_size})")
-    base_step = make_train_step(cfg)
-    data_stream = rnglib.stream(rnglib.root_key(cfg.seed), rnglib.STREAM_DATA)
-    n_epochs = scan_steps // steps_per_epoch + 2
+    # Epochs a K-step window can touch. The trainer (and bench) always
+    # dispatch windows starting at epoch boundaries AND use K that divides
+    # or is divided by steps_per_epoch — then the span is exactly
+    # ceil(K / spe). The +1 slack only exists for misaligned direct callers
+    # (the body clamps e_rel into the augment table, so a misaligned start
+    # reads a valid — same-distribution — augmented epoch).
+    aligned = (scan_steps % steps_per_epoch == 0
+               or steps_per_epoch % scan_steps == 0)
+    span = -(-scan_steps // steps_per_epoch)           # ceil
+    n_epochs = span + (1 if aligned else 2)            # perm table (cheap)
+    n_aug = span + (0 if aligned else 1)               # augmented-table epochs
+    bulk = _use_bulk_augment(cfg, n_images, n_aug)
+    inner_cfg = cfg.replace(augment=False) if bulk else cfg
+    base_step = make_train_step(inner_cfg,
+                                real_pre_packed=bulk and _packed(cfg))
+    root = rnglib.root_key(cfg.seed)
+    data_stream = rnglib.stream(root, rnglib.STREAM_DATA)
+    aug_stream = rnglib.stream(root, rnglib.STREAM_AUGMENT)
 
     conditional = cfg.model.num_classes > 0
 
@@ -419,13 +496,28 @@ def make_resident_multi_step(cfg: TrainConfig, n_images: int, scan_steps: int):
         perms = jax.vmap(lambda e: jax.random.permutation(
             rnglib.at_step(data_stream, e0 + e), n_images))(
                 jnp.arange(n_epochs))
+        if bulk:
+            # Hoisted augmentation: augment+pack the dataset once per epoch
+            # in the window (lax.map keeps peak memory at one epoch), then
+            # the scan body gathers from the flattened table — zero
+            # per-step warp/convert/pack ops (keying identical to
+            # make_resident_train_step; exact-equivalence tested).
+            augs = jax.lax.map(
+                lambda e: _bulk_augment_epoch(cfg, images, e0 + e, aug_stream),
+                jnp.arange(n_aug))
+            augs = augs.reshape((n_aug * n_images,) + augs.shape[2:])
 
         def body(s: TrainState, _):
-            e_rel = s.step // steps_per_epoch - e0
+            e_rel = jnp.minimum(s.step // steps_per_epoch - e0, n_epochs - 1)
             bidx = s.step % steps_per_epoch
             idx = jax.lax.dynamic_slice(
                 perms, (e_rel, bidx * cfg.batch_size), (1, cfg.batch_size))[0]
-            batch = jnp.take(images, idx, axis=0)
+            if bulk:
+                batch = jnp.take(
+                    augs, jnp.minimum(e_rel, n_aug - 1) * n_images + idx,
+                    axis=0)
+            else:
+                batch = jnp.take(images, idx, axis=0)
             if conditional:
                 return base_step(s, batch, jnp.take(labels, idx, axis=0))
             return base_step(s, batch)

@@ -85,7 +85,17 @@ class GANTrainer:
                 self.labels_dev = (jax.device_put(labels) if self.conditional
                                    else None)
             spe = n_global // cfg.batch_size
-            self.scan_steps = cfg.scan_steps or max(1, min(spe, 64))
+            if cfg.scan_steps:
+                self.scan_steps = cfg.scan_steps
+            else:
+                # Auto: largest DIVISOR of steps_per_epoch <= 64, so every
+                # dispatch starts at an epoch boundary (keeps the bulk
+                # augment window exact and the per-epoch step accounting
+                # honest — a non-divisor K would overshoot the epoch).
+                k = max(1, min(spe, 64))
+                while spe % k:
+                    k -= 1
+                self.scan_steps = k
             step_fn, self.steps_per_epoch = make_resident_multi_step(
                 cfg, n_global, self.scan_steps)
             self.loader = None
@@ -157,6 +167,8 @@ class GANTrainer:
         return self.stop_file is not None and self.stop_file.exists()
 
     def _sample_grid(self, epoch: int) -> Path:
+        # The generate computation is global (replicated state) so every
+        # process participates; only process 0 writes the PNG.
         if self.conditional:
             y = jnp.arange(self.cfg.fixed_noise_samples) % self.cfg.model.num_classes
             imgs = np.asarray(jax.device_get(
@@ -164,8 +176,10 @@ class GANTrainer:
         else:
             imgs = np.asarray(jax.device_get(
                 self._generate(self.state, self.fixed_noise)))
-        return save_sample_grid(
-            imgs, Path(self.cfg.sample_dir) / f"epoch_{epoch:04d}.png")
+        path = Path(self.cfg.sample_dir) / f"epoch_{epoch:04d}.png"
+        if jax.process_index() == 0:
+            save_sample_grid(imgs, path)
+        return path
 
     def _save_checkpoint(self, epoch: int, g_loss: float) -> None:
         # Attach a FID only when it was scored for exactly this epoch's state.
@@ -294,6 +308,7 @@ class GANTrainer:
             print("Interrupted — saving checkpoint", flush=True)
             self._save_checkpoint(epoch, float("inf"))
         finally:
-            self.logger.save_to_csv()
-            self.logger.save_to_json()
+            if jax.process_index() == 0:
+                self.logger.save_to_csv()
+                self.logger.save_to_json()
         return self.logger.get_summary()

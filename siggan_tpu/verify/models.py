@@ -73,8 +73,15 @@ def _maxpool2(x):
 
 
 def encode(params: Dict, state: Dict, x: jax.Array, *, train: bool,
-           rng: jax.Array | None = None) -> Tuple[jax.Array, Dict]:
-    """x: (N, 64, 64, 1) -> L2-normalized (N, embedding_dim)."""
+           rng: jax.Array | None = None,
+           return_hidden: bool = False) -> Tuple[jax.Array, Dict]:
+    """x: (N, 64, 64, 1) -> L2-normalized (N, embedding_dim).
+
+    ``return_hidden=True`` returns the 512-d relu(fc1) activations instead —
+    the domain-trained feature space used as an in-environment FID backbone
+    (eval/fid.py ``make_scorer("verifier:...")``; the role torchvision
+    InceptionV3 features play in the reference, utils/metrics.py:23-46).
+    """
     new_state: Dict = {"bn": []}
     h = x
     for i, (k, cin, cout, pad) in enumerate(_CONVS):
@@ -87,6 +94,8 @@ def encode(params: Dict, state: Dict, x: jax.Array, *, train: bool,
         h = _maxpool2(jax.nn.relu(h))
     h = jnp.reshape(h, (h.shape[0], -1))
     h = jax.nn.relu(linear(h, params["fc1"]["w"], params["fc1"]["b"]))
+    if return_hidden:
+        return h, new_state
     if train:
         if rng is None:
             raise ValueError("encoder dropout needs an rng in train mode")

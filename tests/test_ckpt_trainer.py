@@ -136,6 +136,7 @@ def test_fid_best_criterion(tmp_path):
     assert mgr.available()["best"] == 2
 
 
+@pytest.mark.slow  # trainer + inception compile (~26 s CPU)
 def test_trainer_fid_interval(tmp_path, monkeypatch):
     """fid_interval wires per-epoch FID into logs and the best alias."""
     cfg = _cfg(tmp_path, fid_interval=1, fid_samples=4)

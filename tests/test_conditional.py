@@ -4,6 +4,7 @@ CPU, tiny shapes."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from siggan_tpu.core.config import ModelConfig, TrainConfig
 from siggan_tpu.core.state import create_train_state
@@ -66,6 +67,7 @@ def test_conditional_train_step_runs():
     assert np.isfinite(float(metrics["g_loss"]))
 
 
+@pytest.mark.slow  # full conditional trainer compile (~27 s CPU)
 def test_conditional_resident_and_trainer(tmp_path):
     from siggan_tpu.data.synthetic import generate_labeled_dataset
     from siggan_tpu.train.trainer import GANTrainer

@@ -170,3 +170,47 @@ def test_ema_state_survives_donation():
     step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
     state, metrics = step(state, _batch())   # would raise before the fix
     assert np.isfinite(float(metrics["g_loss"]))
+
+
+def test_adam_low_mem_statistically_matches_adam():
+    """bf16-moment Adam (opt-in, OptimConfig.moment_dtype) must track plain
+    f32 Adam to within bf16 rounding over a multi-step trajectory."""
+    import optax
+
+    from siggan_tpu.core.state import adam_low_mem
+
+    params = {"w": jnp.asarray(np.random.RandomState(0).randn(64, 64),
+                               jnp.float32) * 0.1,
+              "b": jnp.zeros((64,))}
+    plain = optax.adam(2e-4, b1=0.5, b2=0.999, eps=1e-8)
+    low = adam_low_mem(2e-4, 0.5, 0.999)
+    sp, sl = plain.init(params), low.init(params)
+    p1 = p2 = params
+    for i in range(10):
+        g = jax.tree_util.tree_map(
+            lambda x: jnp.sin(x * (i + 1)) * 0.3, p1)
+        u1, sp = plain.update(g, sp, p1)
+        p1 = optax.apply_updates(p1, u1)
+        g2 = jax.tree_util.tree_map(
+            lambda x: jnp.sin(x * (i + 1)) * 0.3, p2)
+        u2, sl = low.update(g2, sl, p2)
+        p2 = optax.apply_updates(p2, u2)
+    # moments stored bf16
+    assert sl["m"]["w"].dtype == jnp.bfloat16
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        a, b = np.asarray(a), np.asarray(b)
+        # parameter drift bounded by a few lr-scale ULPs of bf16 rounding
+        assert np.abs(a - b).max() < 5e-5, np.abs(a - b).max()
+
+
+def test_moment_dtype_config_wires_through():
+    from siggan_tpu.core.config import OptimConfig
+    cfg = _cfg(optim=OptimConfig(moment_dtype="bfloat16"))
+    state = create_train_state(cfg)
+    m_leaves = jax.tree_util.tree_leaves(state.g_opt)
+    assert any(l.dtype == jnp.bfloat16 for l in m_leaves
+               if hasattr(l, "dtype"))
+    step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+    state, metrics = step(state, _batch())
+    assert np.isfinite(float(metrics["g_loss"]))

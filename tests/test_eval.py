@@ -114,3 +114,62 @@ def test_compute_metrics_graceful_failure(monkeypatch):
     res = ev.compute_metrics(imgs, imgs, lpips_subset=4)
     assert "fid" in res["errors"]
     assert "lpips_diversity" in res  # others still computed
+
+
+# ---- round-3: domain-trained FID backbone (VERDICT r2 #4) -------------------
+
+def test_verifier_backbone_scorer(tmp_path):
+    """make_scorer('verifier:<ckpt>') extracts 512-d trained features, FID is
+    0 for identical sets, positive for distinct ones, and noise scores worse
+    than a same-distribution split."""
+    import jax
+    import numpy as np
+
+    from siggan_tpu.eval.fid import feature_diversity, make_scorer
+    from siggan_tpu.verify.models import init_fn
+    from siggan_tpu.verify.train import save_verifier
+
+    params, bn = init_fn(jax.random.key(0), 128)
+    path = tmp_path / "verifier.pkl"
+    save_verifier({"params": params, "bn": bn, "epoch": 0,
+                   "val_accuracy": 1.0}, path)
+
+    scorer = make_scorer(f"verifier:{path}")
+    assert scorer.backbone.startswith("verifier:")
+    rs = np.random.RandomState(0)
+    a = (rs.rand(24, 64, 64, 1) * 2 - 1).astype(np.float32)
+    b = (rs.rand(24, 64, 64, 1) * 2 - 1).astype(np.float32)
+    assert scorer.features(a).shape == (24, 512)
+    assert scorer.fid(a, a) < 1e-6
+    assert scorer.fid(a, b) >= 0
+    # structured vs noise separation on the trained-feature metric shape
+    from siggan_tpu.data.synthetic import generate_dataset
+    sig = generate_dataset(48, 64, seed=1)
+    same = scorer.fid(sig[:24], sig[24:])
+    vs_noise = scorer.fid(sig[:24], a)
+    assert vs_noise > same
+    assert feature_diversity(scorer, sig[:12]) > 0
+
+
+def test_verifier_backbone_resizes_128(tmp_path):
+    import jax
+    import numpy as np
+
+    from siggan_tpu.eval.fid import make_scorer
+    from siggan_tpu.verify.models import init_fn
+    from siggan_tpu.verify.train import save_verifier
+
+    params, bn = init_fn(jax.random.key(0), 128)
+    path = tmp_path / "v.pkl"
+    save_verifier({"params": params, "bn": bn}, path)
+    scorer = make_scorer(f"verifier:{path}")
+    x = np.zeros((4, 128, 128, 1), np.float32)
+    assert scorer.features(x).shape == (4, 512)
+
+
+def test_unknown_backbone_spec_raises():
+    import pytest as _pytest
+
+    from siggan_tpu.eval.fid import make_scorer
+    with _pytest.raises(ValueError, match="unknown FID backbone"):
+        make_scorer("bogus:thing")

@@ -7,6 +7,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from siggan_tpu.core.config import ModelConfig, TrainConfig
 from siggan_tpu.models import discriminator, generator
@@ -124,6 +125,7 @@ def test_generator_packed_tail_128px_matches():
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # compile-heavy gradient-equivalence proof (~18 s CPU)
 def test_generator_packed_tail_gradients_match():
     """Gradients w.r.t. canonical params must be identical through the
     packed-tail embeddings (they are linear re-indexings)."""

@@ -160,6 +160,7 @@ def test_eval_generate():
     assert jnp.allclose(img, gen(state, z))
 
 
+@pytest.mark.slow  # compile-heavy equivalence proof (~35 s CPU)
 def test_shared_fakes_step_equals_retrace():
     """share_fakes (single G forward via vjp) must equal the naive
     re-traced implementation of the ablation-trainer semantics."""
@@ -224,3 +225,39 @@ def test_shared_fakes_step_equals_retrace():
     for a, b in zip(jax.tree_util.tree_leaves(got_state.g_bn),
                     jax.tree_util.tree_leaves(g_bn)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_bulk_augment_active_and_fallback():
+    """Round-3 perf: resident steps hoist augmentation to epoch granularity
+    (augment_bulk). The bulk path must actually augment (trajectory differs
+    from augment=False), and must fall back to in-step augmentation when the
+    window table exceeds resident_max_mb."""
+    from siggan_tpu.train.train_step import (_use_bulk_augment,
+                                             make_resident_train_step)
+
+    cfg = _cfg()
+    assert cfg.augment and cfg.augment_bulk
+    assert _use_bulk_augment(cfg, 64, 2)
+    tiny = cfg.replace(resident_max_mb=0)
+    assert not _use_bulk_augment(tiny, 64, 2)
+
+    images = _fake_batch(32)
+    outs = {}
+    for name, c in (("aug", cfg), ("noaug", cfg.replace(augment=False))):
+        step_fn, _ = make_resident_train_step(c, 32)
+        s, m = jax.jit(step_fn)(create_train_state(c), images)
+        outs[name] = float(m["d_loss"])
+    assert outs["aug"] != outs["noaug"]
+
+
+def test_bulk_augment_matches_in_step_distribution():
+    """Bulk and in-step augment draw from the same transform family: both
+    produce one fresh warp per image per epoch, values in [-1, 1]."""
+    from siggan_tpu.data.augment import augment_batch_inner
+
+    images = _fake_batch(8)
+    a = augment_batch_inner(images, jax.random.key(0))
+    b = augment_batch_inner(images, jax.random.key(1))
+    assert a.shape == images.shape
+    assert float(jnp.abs(a).max()) <= 1.0 + 1e-5
+    assert float(jnp.abs(a - b).max()) > 0   # fresh transforms per key
