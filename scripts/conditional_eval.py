@@ -17,21 +17,25 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 RUN = Path("/tmp/cond_quality")
 N_WRITERS = 8
 PER_WRITER = 512
-EPOCHS = 300
+EPOCHS = 600
 
 
 def train():
-    from siggan_tpu.core.config import ModelConfig, TrainConfig
+    from siggan_tpu.core.config import ModelConfig, OptimConfig, TrainConfig
     from siggan_tpu.data.synthetic import generate_labeled_dataset
     from siggan_tpu.train.trainer import GANTrainer
 
     images, labels = generate_labeled_dataset(N_WRITERS, PER_WRITER, 64, seed=21)
     print(f"dataset: {images.shape}, writers {N_WRITERS}", flush=True)
+    # Round-3 recipe (VERDICT r2 #2): AC-GAN auxiliary classifier on top of
+    # the projection head + per-class BN, class-balanced fake batches
+    # (default), generator EMA for eval, 2x the round-2 schedule.
     cfg = TrainConfig(
-        model=ModelConfig(num_classes=N_WRITERS, use_spectral_norm=True),
-        optim=__import__("siggan_tpu.core.config", fromlist=["OptimConfig"]
-                         ).OptimConfig(d_lr=1e-4, g_lr=2e-4),
-        epochs=EPOCHS, sample_interval=50, checkpoint_interval=50,
+        model=ModelConfig(num_classes=N_WRITERS, use_spectral_norm=True,
+                          aux_classifier=True),
+        optim=OptimConfig(d_lr=1e-4, g_lr=2e-4),
+        aux_weight=0.5, ema_decay=0.999,
+        epochs=EPOCHS, sample_interval=100, checkpoint_interval=50,
         checkpoint_dir=str(RUN / "checkpoints"),
         sample_dir=str(RUN / "samples"), log_dir=str(RUN / "logs"))
     tr = GANTrainer(cfg, images, labels=labels,

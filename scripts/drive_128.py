@@ -17,7 +17,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 RUN = Path("/tmp/run128")
 N_IMAGES = 4096
-EPOCHS = 200
+EPOCHS = 300   # the v1.1 plan prescribes 300 (model_versions.yaml:59)
 
 
 def main():
@@ -33,8 +33,14 @@ def main():
 
     images = generate_dataset(N_IMAGES, 128, seed=7)
     print(f"dataset: {images.shape}", flush=True)
+    # Round-3 recipe (VERDICT r2 #3): full 300-epoch v1.1 schedule, TTUR
+    # (slower D) to tame the late-training d_acc 0.92 dominance seen in the
+    # round-2 drive, and generator EMA for eval.
+    from siggan_tpu.core.config import OptimConfig
     cfg = TrainConfig(
         model=ModelConfig(image_size=128, use_spectral_norm=True),
+        optim=OptimConfig(d_lr=1e-4, g_lr=2e-4),
+        ema_decay=0.999,
         epochs=EPOCHS, fid_interval=10, fid_samples=256,
         sample_interval=50, checkpoint_interval=10,
         checkpoint_dir=str(RUN / "checkpoints"),

@@ -118,9 +118,14 @@ def apply_fn(
         if packed_input and i == 0:
             if cfg.image_channels != 1:
                 raise ValueError("packed_input requires 1-channel images")
-            from siggan_tpu.ops.packed import pack_first_conv_kernel
-            h = conv2d(h, pack_first_conv_kernel(w), p["b"], stride=1,
-                       padding=1, compute_dtype=compute_dtype)
+            from siggan_tpu.ops.packed import (conv3s1p1_matmul_dgrad,
+                                               pack_first_conv_kernel)
+            # custom-VJP conv: the input gradient (into the C=4 packed fake,
+            # the G step's path back into the generator) runs in merged-tap
+            # matmul form — the plain conv dgrad measured 6.5 TF/s and was
+            # the slowest op in the step (see conv3s1p1_matmul_dgrad).
+            h = conv3s1p1_matmul_dgrad(compute_dtype)(
+                h, pack_first_conv_kernel(w), p["b"])
         else:
             h = conv2d(h, w, p["b"], stride=2, padding=1, compute_dtype=compute_dtype)
         h = jax.nn.leaky_relu(h, cfg.leaky_slope)

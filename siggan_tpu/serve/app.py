@@ -407,7 +407,9 @@ class AppCore:
         extra: List[str] = []
         for flag in ("epochs", "batch_size", "latent_dim", "image_size",
                      "seed", "sample_interval", "checkpoint_interval",
-                     "n_critic", "g_lr", "d_lr", "label_smoothing"):
+                     "n_critic", "g_lr", "d_lr", "label_smoothing",
+                     "fid_interval", "ema_decay", "aux_weight",
+                     "num_classes"):
             if flag in body:
                 extra += [f"--{flag}", str(body[flag])]
         if body.get("spectral_norm"):
