@@ -433,3 +433,67 @@ def conv3s1p1_matmul_dgrad(compute_dtype=None):
 
     conv.defvjp(fwd, bwd)
     return conv
+
+
+# ---------------------------------------------------------------------------
+# Kernel packing as one constant-index gather — MEASURED DEAD END.
+#
+# The pack_* constructors above are written as pad + strided-slice concats;
+# XLA lowers those INSIDE the train step as ~16 small gathers per kernel per
+# forward — 61 gathers x ~0.75 us = 45.6 us/step at 64px/b64 (latency-bound,
+# 27 GiB/s). Every pack function is a pure PLACEMENT of input entries, so it
+# is exactly representable as a single gather of the flattened weight by a
+# constant index map (derived by probing the reference implementation with a
+# linear ramp; equivalence asserted on first use).
+#
+# VERDICT (TPU v5e, 64px/b64): catastrophic. Routing the model's kernel
+# packing through this gather measured 15-20 MS/step (vs 1.58) — whole-
+# kernel random gathers plus their scatter-add weight-grad transpose fall
+# off XLA:TPU's fusion path entirely, at every kernel size tried. The
+# utility stays for the record and for tests; model code keeps the
+# slice/concat form. Do not rewire without re-measuring.
+# ---------------------------------------------------------------------------
+
+_PACK_IDX_CACHE: dict = {}
+
+
+def pack_by_gather(pack_fn, w: jax.Array, max_size: int = 32768) -> jax.Array:
+    """Evaluate ``pack_fn(w)`` as one constant-index gather (see above).
+
+    Applies only to SMALL kernels (w.size <= max_size): those are the ones
+    whose 16 per-phase strided slices lower as latency-bound micro-gathers.
+    Large kernels keep the slice/concat form — a single whole-kernel random
+    gather of a multi-MB tensor measured ~12x SLOWER than the slices."""
+    import numpy as np
+
+    if w.size > max_size:
+        return pack_fn(w)
+    key = (pack_fn.__name__, tuple(w.shape))
+    idx = _PACK_IDX_CACHE.get(key)
+    if idx is None:
+        # Probe with a 1-based ramp: 0 in the output marks zero padding.
+        # Values stay < 2^24 so f32 round-trips exactly. The probe runs
+        # EAGERLY on CPU (it happens once per shape, usually while tracing —
+        # eager dispatches to a tunneled TPU would be slow there).
+        probe = np.arange(1, w.size + 1, dtype=np.float32).reshape(w.shape)
+        # Force CONCRETE evaluation even when called mid-trace (without it
+        # the probe output can be swept into the surrounding jit as a
+        # tracer), on CPU when that backend exists (eager dispatches to a
+        # tunneled TPU are slow).
+        import contextlib
+        ctx = contextlib.ExitStack()
+        ctx.enter_context(jax.ensure_compile_time_eval())
+        try:
+            ctx.enter_context(jax.default_device(
+                jax.local_devices(backend="cpu")[0]))
+        except RuntimeError:
+            pass
+        with ctx:
+            out = np.asarray(pack_fn(jnp.asarray(probe)))
+        idx = np.rint(out).astype(np.int64)
+        assert idx.min() >= 0 and idx.max() <= w.size
+        idx = np.where(idx == 0, w.size, idx - 1).astype(np.int32)
+        _PACK_IDX_CACHE[key] = idx
+    flat = jnp.concatenate([w.reshape(-1),
+                            jnp.zeros((1,), w.dtype)])
+    return flat[jnp.asarray(idx)]

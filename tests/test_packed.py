@@ -191,3 +191,21 @@ def test_p4_boundary_embeddings_exact():
                  stride=1, padding=1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pack_by_gather_matches_reference_packers():
+    """Record-keeping for the measured dead end (ops/packed.py): the
+    constant-index gather reproduces every pack function bit-exactly."""
+    import numpy as np
+
+    from siggan_tpu.ops import packed as P
+
+    for fn, shape in [(P.pack_convt_kernel_both_mc, (4, 4, 32, 32)),
+                      (P.pack_convt_kernel_out_mc, (4, 4, 64, 32)),
+                      (P.pack_conv3_kernel_both_mc, (3, 3, 32, 1)),
+                      (P.pack_first_conv_kernel, (4, 4, 1, 64)),
+                      (P.pack_final_conv_kernel, (3, 3, 32, 1))]:
+        w = jnp.asarray(np.random.RandomState(0).randn(*shape)
+                        .astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(fn(w)),
+                                      np.asarray(P.pack_by_gather(fn, w)))
