@@ -16,8 +16,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 RUN = Path("/tmp/cond_quality")
 N_WRITERS = 8
-PER_WRITER = 512
-EPOCHS = 600
+PER_WRITER = 1024      # showcase-scale data (8192 total): per-class FID is
+                       # quality-dominated, so conditional needs the same
+                       # data budget that got the unconditional run to 383
+EPOCHS = 400
 
 
 def train():
@@ -35,7 +37,8 @@ def train():
                           aux_classifier=True),
         optim=OptimConfig(d_lr=1e-4, g_lr=2e-4),
         aux_weight=0.5, ema_decay=0.999,
-        epochs=EPOCHS, sample_interval=100, checkpoint_interval=50,
+        epochs=EPOCHS, sample_interval=100, checkpoint_interval=10,
+        fid_interval=10, fid_samples=512,
         checkpoint_dir=str(RUN / "checkpoints"),
         sample_dir=str(RUN / "samples"), log_dir=str(RUN / "logs"))
     tr = GANTrainer(cfg, images, labels=labels,
@@ -52,10 +55,10 @@ def evaluate():
     from siggan_tpu.infer.generate import load_session
 
     images, labels = generate_labeled_dataset(N_WRITERS, PER_WRITER, 64, seed=21)
-    sess = load_session(str(RUN / "checkpoints"), "latest")
+    sess = load_session(str(RUN / "checkpoints"), "best")
     scorer = FIDScorer()
     per_class = {}
-    n_gen = 256
+    n_gen = 512
     for c in range(N_WRITERS):
         fake_c = sess.sample(n_gen, seed=100 + c, batch_size=128, class_id=c)
         real_c = images[labels == c][:n_gen]
@@ -89,7 +92,8 @@ def evaluate():
 
     out = {
         "recipe": f"conditional v2.0: {N_WRITERS} writers x {PER_WRITER}, "
-                  f"SN+TTUR, {EPOCHS} epochs",
+                  f"SN+TTUR+AC-GAN(aux 0.5)+EMA, {EPOCHS} epochs, "
+                  f"best-FID checkpoint (fid_interval=10)",
         "per_class": per_class,
         "classes_steered_by_fid": f"{n_ok}/{N_WRITERS}",
         "mean_fid_own": float(np.mean([v["fid_own"] for v in per_class.values()])),

@@ -32,10 +32,11 @@ def main() -> None:
     ap.add_argument("--data_dir", default="/tmp/parity_data")
     ap.add_argument("--out", default="/tmp/parity_torch")
     ap.add_argument("--epochs", type=int, default=25)
+    ap.add_argument("--seed", type=int, default=42)
     a = ap.parse_args()
 
     import torch
-    torch.manual_seed(42)
+    torch.manual_seed(a.seed)
 
     from train_vanilla_gan_signatures import GANTrainer, TrainingConfig
 
