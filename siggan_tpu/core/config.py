@@ -153,6 +153,13 @@ class TrainConfig:
     # classifier assigns to their conditioned class (Odena et al. 2017).
     aux_weight: float = 0.0
 
+    # Whether D's auxiliary loss also classifies FAKE samples by their
+    # conditioned label (Odena et al. 2017 does; much follow-up work drops
+    # it because rewarding D for classifying junk as the intended class
+    # removes the pressure on G to make classes distinct and measurably
+    # hurts per-class fidelity). G's aux term is unaffected.
+    aux_d_on_fakes: bool = False
+
     # Class-balanced fake batches for conditional training: draw each
     # step's fake labels as a random permutation of a balanced label set
     # instead of iid uniform — every class gets gradient signal every step.

@@ -136,11 +136,14 @@ def d_step(
         loss = _bce_mean(logits_r, cfg.label_smoothing) + _bce_mean(logits_f, 0.0)
         aux_acc = None
         if aux_on:
-            # AC-GAN: D learns the writer of reals AND fakes (Odena et al.
-            # 2017, eq. L_C maximized by both players).
-            loss = loss + cfg.aux_weight * (
-                _ce_mean(aux_logits[:b], y_real)
-                + _ce_mean(aux_logits[b:], y_fake))
+            # AC-GAN: D learns the writer of reals (Odena et al. 2017); the
+            # fake-side term is an opt-in (cfg.aux_d_on_fakes) — rewarding D
+            # for classifying fakes as their intended class removes the
+            # pressure on G to make classes distinct.
+            aux_loss = _ce_mean(aux_logits[:b], y_real)
+            if cfg.aux_d_on_fakes:
+                aux_loss = aux_loss + _ce_mean(aux_logits[b:], y_fake)
+            loss = loss + cfg.aux_weight * aux_loss
             aux_acc = jnp.mean(
                 (jnp.argmax(aux_logits[:b], -1) == y_real).astype(jnp.float32))
         return loss, (d_state, logits_r, logits_f, aux_acc)

@@ -288,7 +288,8 @@ class GANTrainer:
                     print(f"WARNING: possible mode collapse — {reason}",
                           flush=True)
 
-                if (epoch + 1) % cfg.sample_interval == 0:
+                if cfg.sample_interval > 0 and (
+                        epoch + 1) % cfg.sample_interval == 0:
                     self._sample_grid(epoch + 1)
                 g_avg = avgs.get("g_loss", float("inf"))
                 if g_avg < self.best_g_loss:
