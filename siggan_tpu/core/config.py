@@ -68,6 +68,22 @@ class OptimConfig:
     # Adam moment storage dtype. "bfloat16" halves the optimizer state's HBM
     # traffic (the moments are read+written every step); the moment MATH is
     # still f32 (upcast, update, downcast) and params stay f32 master
+    # Learning-rate schedule over the whole run (both nets): "constant"
+    # (reference semantics — its scripts mutate LR only by hand via
+    # set_learning_rates), "linear" or "cosine" decay. Decay starts at
+    # lr_decay_start_frac of total steps and ends at lr_end_frac * lr.
+    # Schedules are step-indexed inside the jitted scan (optax schedule in
+    # the Adam chain), so they cost nothing at dispatch time.
+    lr_schedule: str = "constant"
+    lr_decay_start_frac: float = 0.5
+    lr_end_frac: float = 0.0
+    # Total optimizer steps the schedule spans. 0 = "fill me in": GANTrainer
+    # sets it to epochs * steps_per_epoch at construction (and the value is
+    # serialized into checkpoints, so resume keeps the same schedule).
+    # Required > 0 when lr_schedule != "constant" and building states by
+    # hand.
+    lr_total_steps: int = 0
+
     # weights. Opt-in: equivalence to f32 moments is tested statistically
     # (tests/test_ema_acgan.py) and the faithful default stays f32.
     moment_dtype: str = "float32"

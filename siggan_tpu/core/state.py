@@ -87,12 +87,15 @@ def adam_low_mem(lr: float, b1: float, b2: float, eps: float = 1e-8,
         c = count.astype(jnp.float32)
         bc1 = 1.0 - jnp.power(jnp.float32(b1), c)
         bc2 = 1.0 - jnp.power(jnp.float32(b2), c)
+        # lr may be an optax schedule (lr_schedule config); schedules index
+        # by the number of PREVIOUS updates, matching optax's convention.
+        lr_t = lr(state["count"]) if callable(lr) else lr
 
         def upd(g, m, v):
             g32 = g.astype(jnp.float32)
             m32 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g32
             v32 = b2 * v.astype(jnp.float32) + (1.0 - b2) * g32 * g32
-            u = -lr * (m32 / bc1) / (jnp.sqrt(v32 / bc2) + eps)
+            u = -lr_t * (m32 / bc1) / (jnp.sqrt(v32 / bc2) + eps)
             return u, m32.astype(moment_dtype), v32.astype(moment_dtype)
 
         out = jax.tree_util.tree_map(upd, grads, state["m"], state["v"])
@@ -106,13 +109,38 @@ def adam_low_mem(lr: float, b1: float, b2: float, eps: float = 1e-8,
     return optax.GradientTransformation(init, update)
 
 
+def _lr_schedule(cfg: TrainConfig, lr: float, step_mult: int = 1):
+    """Resolve the configured LR schedule to an optax schedule (or the
+    constant lr). Step-indexed: lives inside the jitted scan for free.
+    ``step_mult`` stretches the span for nets that update more than once
+    per training iteration (D with n_critic > 1)."""
+    if cfg.optim.lr_schedule == "constant":
+        return lr
+    total_steps = cfg.optim.lr_total_steps * step_mult
+    if not total_steps:
+        raise ValueError("optim.lr_schedule requires optim.lr_total_steps "
+                         "> 0 (GANTrainer fills it in automatically)")
+    start = int(total_steps * cfg.optim.lr_decay_start_frac)
+    end = max(total_steps - start, 1)
+    if cfg.optim.lr_schedule == "linear":
+        tail = optax.linear_schedule(lr, lr * cfg.optim.lr_end_frac, end)
+    elif cfg.optim.lr_schedule == "cosine":
+        tail = optax.cosine_decay_schedule(lr, end,
+                                           alpha=cfg.optim.lr_end_frac)
+    else:
+        raise ValueError(f"unknown lr_schedule {cfg.optim.lr_schedule!r}")
+    return optax.join_schedules([optax.constant_schedule(lr), tail], [start])
+
+
 def make_optimizers(cfg: TrainConfig):
     """Adam(lr, (beta1, beta2)) with optional global-norm clipping, matching
     ``vanilla_gan_model.py:110-120`` + ``train_vanilla_gan_signatures.py:262``
     (torch clips grads before the Adam update; optax.chain does the same).
 
-    ``optim.moment_dtype="bfloat16"`` swaps in ``adam_low_mem`` (opt-in)."""
-    def chain(lr):
+    ``optim.moment_dtype="bfloat16"`` swaps in ``adam_low_mem`` (opt-in);
+    ``optim.lr_schedule`` swaps the constant lr for a decay schedule."""
+    def chain(lr, step_mult=1):
+        lr = _lr_schedule(cfg, lr, step_mult)
         tx = [optax.clip_by_global_norm(cfg.optim.gradient_clip_value)] \
             if cfg.optim.gradient_clip_value else []
         if cfg.optim.moment_dtype == "bfloat16":
@@ -125,7 +153,8 @@ def make_optimizers(cfg: TrainConfig):
         # optax.flatten (31.2k vs 35.0k img/s) and per-leaf flatten_leaves
         # (37.35k vs 37.92k). XLA's per-tensor fusions win.
         return optax.chain(*tx)
-    return chain(cfg.optim.g_lr), chain(cfg.optim.d_lr)
+    return (chain(cfg.optim.g_lr),
+            chain(cfg.optim.d_lr, step_mult=max(cfg.n_critic, 1)))
 
 
 def create_train_state(cfg: TrainConfig) -> TrainState:

@@ -74,6 +74,15 @@ def init_fn(key: jax.Array, cfg: ModelConfig) -> Tuple[Params, State]:
         state["blocks"].append(sn_init(cout) if cfg.use_spectral_norm else {})
     if cfg.use_spectral_norm:
         state["fc"] = sn_init(1)
+        if cfg.num_classes > 0:
+            # Miyato projection-cGAN normalizes the class embedding (and
+            # any extra head) too: an unconstrained projection term lets D
+            # push unbounded logits AROUND the spectrally-normalized fc
+            # path, defeating SN (measured: conditional runs at 4-6x the
+            # unconditional FID until this was constrained).
+            state["class_embed"] = sn_init(final_features)
+            if cfg.aux_classifier:
+                state["aux"] = sn_init(cfg.num_classes)
     return params, state
 
 
@@ -105,7 +114,10 @@ def apply_fn(
     if train and cfg.dropout > 0 and rng is None:
         raise ValueError("training discriminator forward requires a dropout rng")
     blocks = channel_schedule(cfg)
-    new_state: State = {"blocks": [], "fc": state["fc"]}
+    # Start from a shallow copy so SN states of heads not exercised by this
+    # call (projection/aux) pass through unchanged — the returned pytree
+    # structure must match ``state`` exactly for the scan/donation path.
+    new_state: State = {**state, "blocks": []}
     h = x
     for i in range(len(blocks)):
         p = params["blocks"][i]
@@ -142,14 +154,22 @@ def apply_fn(
     if cfg.num_classes > 0:
         if y is None:
             raise ValueError("conditional discriminator requires labels y")
-        emb = jnp.take(jnp.asarray(params["class_embed"]), y, axis=0)
+        embed_w = params["class_embed"]
+        if cfg.use_spectral_norm:
+            embed_w, new_state["class_embed"] = spectral_norm(
+                embed_w, state["class_embed"], train=train)
+        emb = jnp.take(jnp.asarray(embed_w), y, axis=0)
         proj = jnp.sum(flat.astype(jnp.float32) * emb.astype(jnp.float32),
                        axis=-1, keepdims=True)
         logits = logits.astype(jnp.float32) + proj
     if aux:
         if "aux" not in params:
             raise ValueError("aux=True requires cfg.aux_classifier params")
-        aux_logits = linear(flat, params["aux"]["w"], params["aux"]["b"],
+        aux_w = params["aux"]["w"]
+        if cfg.use_spectral_norm:
+            aux_w, new_state["aux"] = spectral_norm(
+                aux_w, state["aux"], train=train)
+        aux_logits = linear(flat, aux_w, params["aux"]["b"],
                             compute_dtype=None).astype(jnp.float32)
         return (logits.astype(jnp.float32), aux_logits), new_state
     return logits.astype(jnp.float32), new_state

@@ -15,6 +15,7 @@ code trains data-parallel over ICI.
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from pathlib import Path
 from typing import Dict, Optional
@@ -42,6 +43,14 @@ class GANTrainer:
                  use_mesh: bool = True,
                  experiment_name: Optional[str] = None,
                  labels: Optional[np.ndarray] = None):
+        if (cfg.optim.lr_schedule != "constant"
+                and cfg.optim.lr_total_steps == 0):
+            # Resolve the schedule span now so the SAME optimizer (state
+            # init + jitted step) is built everywhere and the span rides
+            # along in every serialized config (resume keeps the schedule).
+            spe = len(images) * jax.process_count() // cfg.batch_size
+            cfg = cfg.replace(optim=dataclasses.replace(
+                cfg.optim, lr_total_steps=cfg.epochs * spe))
         self.cfg = cfg
         self.conditional = cfg.model.num_classes > 0
         if self.conditional:
