@@ -35,12 +35,14 @@ def main():
     print(f"dataset: {images.shape}", flush=True)
     # Round-3 recipe (VERDICT r2 #3): full 300-epoch v1.1 schedule, TTUR
     # (slower D) to tame the late-training d_acc 0.92 dominance seen in the
-    # round-2 drive, and generator EMA for eval.
+    # round-2 drive, and linear LR decay over the second half. EMA is OFF:
+    # the 64px A/B measured EMA-0.999 eval consistently WORSE than raw
+    # weights after ~epoch 300 (602 vs 730 FID; /tmp/ema_ab, BASELINE.md).
     from siggan_tpu.core.config import OptimConfig
     cfg = TrainConfig(
         model=ModelConfig(image_size=128, use_spectral_norm=True),
-        optim=OptimConfig(d_lr=1e-4, g_lr=2e-4),
-        ema_decay=0.999,
+        optim=OptimConfig(d_lr=1e-4, g_lr=2e-4, lr_schedule="linear"),
+        ema_decay=0.0,
         epochs=EPOCHS, fid_interval=10, fid_samples=256,
         sample_interval=50, checkpoint_interval=10,
         checkpoint_dir=str(RUN / "checkpoints"),
@@ -77,7 +79,7 @@ def main():
         print(f"seed {seed}: FID {fids[-1]:.1f}", flush=True)
     out = {
         "recipe": "reference v1.1 (128px, spectral norm), 300 epochs, "
-                  "TTUR d_lr 1e-4, EMA eval, b64",
+                  "TTUR d_lr 1e-4, linear LR decay, b64",
         "train_wall_s": train_s,
         "steady_ms_per_step": steady,
         "images_per_sec_per_chip": cfg.batch_size / steady * 1000,

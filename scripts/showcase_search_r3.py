@@ -1,0 +1,75 @@
+"""Round-3 showcase recipe search (VERDICT r2 #3): close 383 -> <=270
+(2x the real-vs-real floor 135) at 64px.
+
+Base recipe = round-2 winner (SN + TTUR, 8192 images). Levers, one per
+variant (each ~4 min TPU): LR decay schedules (new optim.lr_schedule),
+EMA on/off (the round-3 600-epoch EMA run REGRESSED to best 658 vs 484
+without EMA — measured, see /tmp/ema_ab), doubled data. Selection by best
+trainer-FID (512-sample protocol, identical across variants).
+
+Usage: python showcase_search_r3.py [variant ...]
+"""
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+EPOCHS = 600
+
+VARIANTS = {
+    # r2 winner control on current code (did round-3 perf commits move
+    # training quality at all, beyond the measured EMA regression?)
+    "no_ema_rerun": dict(ema=0.0, n=8192, lr="constant"),
+    # same but with the round-3 bulk per-epoch augmentation path disabled
+    # (in-step augmentation, the round-2 code path) — the other bisect arm
+    "no_ema_augstep": dict(ema=0.0, n=8192, lr="constant", bulk=False),
+    # lr decay, second half of the run, to zero
+    "lin_decay": dict(ema=0.0, n=8192, lr="linear"),
+    "cos_decay": dict(ema=0.0, n=8192, lr="cosine"),
+    "data16k_decay": dict(ema=0.0, n=16384, lr="linear"),
+}
+
+
+def run(name: str, spec: dict) -> dict:
+    from siggan_tpu.core.config import ModelConfig, OptimConfig, TrainConfig
+    from siggan_tpu.data.synthetic import generate_dataset
+    from siggan_tpu.train.trainer import GANTrainer
+
+    out = Path(f"/tmp/showcase_r3/{name}")
+    images = generate_dataset(spec["n"], 64, seed=7)
+    cfg = TrainConfig(
+        model=ModelConfig(use_spectral_norm=True),
+        optim=OptimConfig(d_lr=1e-4, g_lr=2e-4, lr_schedule=spec["lr"],
+                          lr_decay_start_frac=0.5),
+        ema_decay=spec["ema"],
+        augment_bulk=spec.get("bulk", True),
+        epochs=EPOCHS, sample_interval=0, checkpoint_interval=10,
+        fid_interval=10, fid_samples=512,
+        checkpoint_dir=str(out / "checkpoints"),
+        sample_dir=str(out / "samples"), log_dir=str(out / "logs"))
+    tr = GANTrainer(cfg, images, experiment_name=f"showcase_r3_{name}")
+    tr.train()
+    avail = tr.ckpt.available()
+    res = {"variant": name, "best_fid": avail.get("best_fid"),
+           "best_epoch": avail.get("best")}
+    print(f"[showcase_r3] {name}: best trainer-FID {res['best_fid']:.1f} "
+          f"@ {res['best_epoch']}", flush=True)
+    return res
+
+
+def main() -> None:
+    results = []
+    for name in (sys.argv[1:] or list(VARIANTS)):
+        results.append(run(name, VARIANTS[name]))
+    outp = Path("/tmp/showcase_r3/results.json")
+    outp.parent.mkdir(parents=True, exist_ok=True)
+    prev = json.loads(outp.read_text()) if outp.exists() else []
+    outp.write_text(json.dumps(prev + results, indent=2))
+    print(json.dumps(results, indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    main()

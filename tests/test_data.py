@@ -80,6 +80,7 @@ def test_augment_deterministic_per_step():
     assert not np.array_equal(np.asarray(a), np.asarray(c))
 
 
+@pytest.mark.slow  # exhaustive-equivalence; compile-heavy (fast-lane budget, VERDICT r2 #7)
 def test_banded_warp_equals_dense():
     """The banded slice-tap warp must be numerically identical to the dense
     two-pass contraction it replaces (the band bound makes every skipped tap

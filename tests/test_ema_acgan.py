@@ -4,6 +4,7 @@ CPU, tiny shapes."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from siggan_tpu.core.config import ModelConfig, TrainConfig
 from siggan_tpu.core.state import create_train_state, eval_generator_weights
@@ -46,6 +47,7 @@ def test_ema_tracks_weights_exactly():
     assert "bn" in state.g_ema
 
 
+@pytest.mark.slow  # exhaustive-equivalence; compile-heavy (fast-lane budget, VERDICT r2 #7)
 def test_ema_off_is_none_and_training_identical():
     """ema_decay=0 keeps g_ema None; the raw weight trajectory is identical
     with EMA on/off (the shadow never feeds back into training)."""
@@ -127,6 +129,7 @@ def test_acgan_aux_step_runs_and_classifier_learns_signal():
     assert np.abs(np.asarray(state.d_params["aux"]["w"]) - aux_before).max() > 0
 
 
+@pytest.mark.slow  # exhaustive-equivalence; compile-heavy (fast-lane budget, VERDICT r2 #7)
 def test_acgan_loss_reduces_to_plain_when_weight_zero():
     """aux_weight=0 with the head present must reproduce the plain
     conditional losses exactly (the head exists but contributes nothing)."""

@@ -76,6 +76,7 @@ def test_discriminator_packed_input_matches():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
 
 
+@pytest.mark.slow  # exhaustive-equivalence; compile-heavy (fast-lane budget, VERDICT r2 #7)
 def test_train_step_packed_equals_pixel_space():
     """Full fused step: packed_io on vs off must produce the same losses,
     params, and BN state (f32, CPU) up to conv reassociation noise."""
@@ -108,6 +109,7 @@ def test_train_step_packed_equals_pixel_space():
                                    rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow  # exhaustive-equivalence; compile-heavy (fast-lane budget, VERDICT r2 #7)
 def test_generator_packed_tail_128px_matches():
     """The deep packed tail (entry / interior / final embeddings) at 128px."""
     cfg = ModelConfig(image_size=128, base_features=32)
@@ -193,6 +195,7 @@ def test_p4_boundary_embeddings_exact():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # exhaustive-equivalence; compile-heavy (fast-lane budget, VERDICT r2 #7)
 def test_pack_by_gather_matches_reference_packers():
     """Record-keeping for the measured dead end (ops/packed.py): the
     constant-index gather reproduces every pack function bit-exactly."""

@@ -227,6 +227,7 @@ def test_shared_fakes_step_equals_retrace():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+@pytest.mark.slow  # exhaustive-equivalence; compile-heavy (fast-lane budget, VERDICT r2 #7)
 def test_bulk_augment_active_and_fallback():
     """Round-3 perf: resident steps hoist augmentation to epoch granularity
     (augment_bulk). The bulk path must actually augment (trajectory differs
@@ -250,6 +251,7 @@ def test_bulk_augment_active_and_fallback():
     assert outs["aug"] != outs["noaug"]
 
 
+@pytest.mark.slow  # exhaustive-equivalence; compile-heavy (fast-lane budget, VERDICT r2 #7)
 def test_bulk_augment_matches_in_step_distribution():
     """Bulk and in-step augment draw from the same transform family: both
     produce one fresh warp per image per epoch, values in [-1, 1]."""
