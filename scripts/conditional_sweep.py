@@ -32,6 +32,20 @@ VARIANTS = {
     "proj_only": dict(num_classes=N_WRITERS, aux=False, aux_weight=0.0),
     "acgan_real": dict(num_classes=N_WRITERS, aux=True, aux_weight=0.5),
     "acgan_weak": dict(num_classes=N_WRITERS, aux=True, aux_weight=0.15),
+    # --- round-3b bisects: G-side vs D-side conditioning cost ---
+    # D fully unconditional; G conditioned (if quality ~uncond_control, the
+    # projection D is the quality problem; steering pressure absent though)
+    "g_only": dict(num_classes=N_WRITERS, aux=False, aux_weight=0.0,
+                   model=dict(d_projection=False)),
+    # classic AC-GAN: unconditional adversarial D + aux classifier only
+    "acgan_classic": dict(num_classes=N_WRITERS, aux=True, aux_weight=0.5,
+                          model=dict(d_projection=False)),
+    # projection D, G conditioned via z-embedding only (plain BN)
+    "proj_embedonly": dict(num_classes=N_WRITERS, aux=False, aux_weight=0.0,
+                           model=dict(g_conditioning="embed_only")),
+    # projection D, G conditioned via per-class BN only (no z shift)
+    "proj_bnonly": dict(num_classes=N_WRITERS, aux=False, aux_weight=0.0,
+                        model=dict(g_conditioning="bn_only")),
 }
 
 
@@ -47,9 +61,13 @@ def run(name: str, spec: dict) -> dict:
     cfg = TrainConfig(
         model=ModelConfig(num_classes=spec["num_classes"],
                           use_spectral_norm=True,
-                          aux_classifier=spec["aux"]),
+                          aux_classifier=spec["aux"],
+                          **spec.get("model", {})),
         optim=OptimConfig(d_lr=1e-4, g_lr=2e-4),
-        aux_weight=spec["aux_weight"], ema_decay=0.999,
+        # ema_decay=0: the round-3 EMA A/B measured EMA-eval ~20% WORSE
+        # than raw weights late in training (BASELINE.md); round-3b variants
+        # (incl. the uncond_control rerun) all use raw-weight FID.
+        aux_weight=spec["aux_weight"], ema_decay=0.0,
         epochs=EPOCHS, sample_interval=0, checkpoint_interval=10,
         fid_interval=10, fid_samples=512,
         checkpoint_dir=str(out / "checkpoints"),

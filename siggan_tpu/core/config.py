@@ -43,6 +43,16 @@ class ModelConfig:
     # here). 0 = unconditional (v1.x). When > 0: G adds a learned per-class
     # embedding to z; D scores with a projection head (logit += <emb_y, feat>).
     num_classes: int = 0
+    # How G consumes the class label (num_classes > 0):
+    #   "full"       class-conditional BN affine + class embedding added to z
+    #   "bn_only"    class-conditional BN affine only
+    #   "embed_only" class embedding added to z only (plain BN)
+    #   "none"       G ignores y (bisect control)
+    g_conditioning: str = "full"
+    # Projection-discriminator class head (logit += <embed[y], feat>). Off =
+    # D's adversarial logit is unconditional (classic AC-GAN shape when
+    # aux_classifier is on).
+    d_projection: bool = True
     # AC-GAN auxiliary classifier head on D (conditional models only): a
     # second linear head over the pre-classifier features predicting the
     # writer class. Trained with TrainConfig.aux_weight; strengthens class

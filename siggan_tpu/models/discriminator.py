@@ -51,12 +51,13 @@ def init_fn(key: jax.Array, cfg: ModelConfig) -> Tuple[Params, State]:
         "w": init.linear_w(keys[-1], (final_features, 1)),
         "b": init.zeros((1,)),
     }}
-    if cfg.num_classes > 0:
+    if cfg.num_classes > 0 and cfg.d_projection:
         # projection-discriminator class embedding over the flattened
         # pre-classifier features (logit += <embed[y], feat>).
         params["class_embed"] = init.linear_w(
             jax.random.fold_in(keys[-1], 0x434C53),
             (cfg.num_classes, final_features))
+    if cfg.num_classes > 0:
         if cfg.aux_classifier:
             # AC-GAN auxiliary classifier head (Odena et al. 2017): a
             # second linear readout predicting the writer class.
@@ -74,15 +75,15 @@ def init_fn(key: jax.Array, cfg: ModelConfig) -> Tuple[Params, State]:
         state["blocks"].append(sn_init(cout) if cfg.use_spectral_norm else {})
     if cfg.use_spectral_norm:
         state["fc"] = sn_init(1)
-        if cfg.num_classes > 0:
+        if cfg.num_classes > 0 and cfg.d_projection:
             # Miyato projection-cGAN normalizes the class embedding (and
             # any extra head) too: an unconstrained projection term lets D
             # push unbounded logits AROUND the spectrally-normalized fc
             # path, defeating SN (measured: conditional runs at 4-6x the
             # unconditional FID until this was constrained).
             state["class_embed"] = sn_init(final_features)
-            if cfg.aux_classifier:
-                state["aux"] = sn_init(cfg.num_classes)
+        if cfg.num_classes > 0 and cfg.aux_classifier:
+            state["aux"] = sn_init(cfg.num_classes)
     return params, state
 
 
@@ -151,7 +152,7 @@ def apply_fn(
     if cfg.use_spectral_norm:
         w, new_state["fc"] = spectral_norm(w, state["fc"], train=train)
     logits = linear(flat, w, params["fc"]["b"], compute_dtype=compute_dtype)
-    if cfg.num_classes > 0:
+    if cfg.num_classes > 0 and cfg.d_projection:
         if y is None:
             raise ValueError("conditional discriminator requires labels y")
         embed_w = params["class_embed"]

@@ -52,6 +52,12 @@ def channel_schedule(cfg: ModelConfig) -> Tuple[int, List[Tuple[int, int]]]:
     return c0, blocks
 
 
+def _cond_bn(cfg: ModelConfig) -> bool:
+    """Per-class BatchNorm affine tables are allocated iff g_conditioning
+    routes the label through BN."""
+    return cfg.num_classes > 0 and cfg.g_conditioning in ("full", "bn_only")
+
+
 def init_fn(key: jax.Array, cfg: ModelConfig) -> Tuple[Params, State]:
     c0, blocks = channel_schedule(cfg)
     n_fc = c0 * 4 * 4
@@ -63,7 +69,7 @@ def init_fn(key: jax.Array, cfg: ModelConfig) -> Tuple[Params, State]:
         },
         "fc_bn": ({"scale": init.bn_scale(keys[1], n_fc),
                    "offset": init.bn_offset(n_fc)}
-                  if cfg.num_classes == 0 else
+                  if not _cond_bn(cfg) else
                   {"scale": jnp.tile(init.bn_scale(keys[1], n_fc)[None],
                                      (cfg.num_classes, 1)),
                    "offset": jnp.zeros((cfg.num_classes, n_fc),
@@ -74,7 +80,7 @@ def init_fn(key: jax.Array, cfg: ModelConfig) -> Tuple[Params, State]:
             "b": init.zeros((cfg.image_channels,)),
         },
     }
-    if cfg.num_classes > 0:
+    if cfg.num_classes > 0 and cfg.g_conditioning in ("full", "embed_only"):
         # class embedding ADDED to z (shape-preserving conditioning). Unit
         # scale, comparable to z ~ N(0, I): a 0.02-scale init measured as a
         # near-no-op (class steering at chance after 200 epochs); at 1.0 the
@@ -85,7 +91,7 @@ def init_fn(key: jax.Array, cfg: ModelConfig) -> Tuple[Params, State]:
     state: State = {"fc_bn": bn_init(n_fc), "blocks": []}
     for i, (cin, cout) in enumerate(blocks):
         kw, kb = keys[3 + 2 * i], keys[4 + 2 * i]
-        if cfg.num_classes == 0:
+        if not _cond_bn(cfg):
             bn_p = {"scale": init.bn_scale(kb, cout),
                     "offset": init.bn_offset(cout)}
         else:
@@ -149,12 +155,16 @@ def apply_fn(
     if packed_output and cfg.image_channels != 1:
         raise ValueError("packed_output requires 1-channel images")
 
+    y_bn = None
     if cfg.num_classes > 0:
         if y is None:
             raise ValueError("conditional generator requires labels y")
-        z = z + jnp.take(jnp.asarray(params["embed"]), y, axis=0)
+        if cfg.g_conditioning in ("full", "embed_only"):
+            z = z + jnp.take(jnp.asarray(params["embed"]), y, axis=0)
+        if cfg.g_conditioning in ("full", "bn_only"):
+            y_bn = y
     h = linear(z, params["fc"]["w"], params["fc"]["b"], compute_dtype=compute_dtype)
-    fc_a, fc_b = _bn_affine(params["fc_bn"], y)
+    fc_a, fc_b = _bn_affine(params["fc_bn"], y_bn)
     h, new_state["fc_bn"] = batch_norm(
         h, fc_a, fc_b, state["fc_bn"], train=train
     )
@@ -177,7 +187,7 @@ def apply_fn(
         else:
             h = conv_transpose2d(h, p["w"], stride=2, padding=1,
                                  compute_dtype=compute_dtype)
-        bn_a, bn_b = _bn_affine(p["bn"], y)
+        bn_a, bn_b = _bn_affine(p["bn"], y_bn)
         if packed_now:
             from siggan_tpu.ops.norm import batch_norm_packed
             h, bs = batch_norm_packed(
