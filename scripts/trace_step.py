@@ -59,7 +59,20 @@ def report(trace_dir: str, top: int = 40) -> None:
         raise KeyError(f"{name_part} not in {cols}")
 
     i_cat = col("category")
-    i_expr = col("HLO")
+    # find the expression/name column explicitly; "HLO" alone can match the
+    # category column depending on xprof version
+    i_expr = None
+    for want in ("expression", "hlo op name", "hlo name", "program"):
+        try:
+            c = col(want)
+            if c != i_cat:
+                i_expr = c
+                break
+        except KeyError:
+            continue
+    if i_expr is None:
+        print(f"columns: {cols}")
+        i_expr = col("HLO")
     i_self = col("Total self time (us)")
     rows = []
     for r in obj["rows"]:

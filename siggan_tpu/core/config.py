@@ -130,6 +130,16 @@ class TrainConfig:
     # updated D — saving a full generator forward per step. Default OFF:
     # the faithful main-trainer recipe draws fresh noise per sub-step.
     share_fakes: bool = False
+    # Merge the iteration's n_critic+1 generator forwards (one per D step +
+    # one for the G step — all under the SAME G params) into one grouped
+    # batch with per-group BatchNorm statistics. Numerically exact vs the
+    # sequential forwards (tests/test_train_step.py::test_fused_g_forwards_*):
+    # each group normalizes with its own batch stats and the running-stat
+    # update composes sequentially; the G gradient is recovered through the
+    # merged VJP with zero cotangents on the stop-gradient groups. Purely a
+    # scheduling change — bigger G conv batches keep the MXU busy and the
+    # packed-kernel re-indexing runs once instead of twice.
+    fuse_g_forwards: bool = True
     seed: int = 42
 
     # Numerics: params kept in f32; matmul/conv compute in bf16 on TPU when

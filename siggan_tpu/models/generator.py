@@ -134,6 +134,7 @@ def apply_fn(
     compute_dtype=None,
     packed_output: bool = False,
     y: jax.Array | None = None,
+    bn_groups: int = 1,
 ) -> Tuple[jax.Array, State]:
     """z: (N, latent_dim) -> image (N, H, W, C) in [-1, 1]; returns new BN state.
 
@@ -166,7 +167,7 @@ def apply_fn(
     h = linear(z, params["fc"]["w"], params["fc"]["b"], compute_dtype=compute_dtype)
     fc_a, fc_b = _bn_affine(params["fc_bn"], y_bn)
     h, new_state["fc_bn"] = batch_norm(
-        h, fc_a, fc_b, state["fc_bn"], train=train
+        h, fc_a, fc_b, state["fc_bn"], train=train, groups=bn_groups
     )
     h = _act(h, cfg)
     h = jnp.reshape(h, (h.shape[0], 4, 4, c0))
@@ -191,10 +192,12 @@ def apply_fn(
         if packed_now:
             from siggan_tpu.ops.norm import batch_norm_packed
             h, bs = batch_norm_packed(
-                h, bn_a, bn_b, state["blocks"][i], train=train)
+                h, bn_a, bn_b, state["blocks"][i], train=train,
+                groups=bn_groups)
         else:
             h, bs = batch_norm(
-                h, bn_a, bn_b, state["blocks"][i], train=train)
+                h, bn_a, bn_b, state["blocks"][i], train=train,
+                groups=bn_groups)
         new_state["blocks"].append(bs)
         h = _act(h, cfg)
 

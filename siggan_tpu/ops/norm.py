@@ -40,16 +40,42 @@ def batch_norm(
     train: bool,
     eps: float = EPS,
     momentum: float = MOMENTUM,
+    groups: int = 1,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Normalize over all axes except the last (channel) axis.
 
     Works for both NHWC activations (reduces N,H,W) and (N,F) dense
     activations (reduces N) — i.e. BatchNorm2d and BatchNorm1d.
     Statistics are computed in f32 regardless of input dtype.
+
+    ``groups > 1``: the batch axis holds ``groups`` contiguous equal-size
+    sub-batches that semantically are SEQUENTIAL forwards under the same
+    params (the fused-G-forwards train step). Each group normalizes with its
+    own batch statistics and the running estimate folds the groups in order
+    — bit-for-bit the state a loop of ``groups`` separate calls produces.
     """
     reduce_axes = tuple(range(x.ndim - 1))
     xf = x.astype(jnp.float32)
-    if train:
+    if train and groups > 1:
+        nb = x.shape[0]
+        per = nb // groups
+        xg = xf.reshape((groups, per) + x.shape[1:])
+        red_g = tuple(range(1, xg.ndim - 1))
+        mean_g = jnp.mean(xg, axis=red_g)                       # (G, C)
+        var_g = jnp.mean(jnp.square(xg), axis=red_g) - jnp.square(mean_g)
+        n = per
+        for a in reduce_axes[1:]:
+            n *= x.shape[a]
+        unbiased_g = var_g * (n / max(n - 1, 1))
+        m_run, v_run = state["mean"], state["var"]
+        for i in range(groups):                                 # static tiny loop
+            m_run = (1 - momentum) * m_run + momentum * mean_g[i]
+            v_run = (1 - momentum) * v_run + momentum * unbiased_g[i]
+        new_state = {"mean": m_run, "var": v_run}
+        # per-sample stats rows so the affine fold below broadcasts uniformly
+        mean = jnp.repeat(mean_g, per, axis=0)                  # (N, C)
+        var = jnp.repeat(var_g, per, axis=0)
+    elif train:
         mean = jnp.mean(xf, axis=reduce_axes)
         var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
         n = 1
@@ -86,6 +112,7 @@ def batch_norm_packed(
     train: bool,
     eps: float = EPS,
     momentum: float = MOMENTUM,
+    groups: int = 1,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """BatchNorm over a 2x2 space-to-depth packed activation (N, H/2, W/2, 4C)
     with planar channel order phase*C + c (ops/packed.py): statistics for
@@ -93,11 +120,28 @@ def batch_norm_packed(
     value set as canonical BN over (N, H, W) — and the affine broadcasts per
     canonical channel across its 4 phases. State stays in canonical (C,)
     shape, so checkpoints are layout-independent.
+
+    ``groups``: as in :func:`batch_norm` — per-group batch statistics with a
+    sequential running-state fold (the fused-G-forwards step).
     """
     n_, h_, w_, c4 = x.shape
     c = c4 // 4
     xf = x.astype(jnp.float32).reshape(n_, h_, w_, 4, c)
-    if train:
+    if train and groups > 1:
+        per = n_ // groups
+        xg = xf.reshape(groups, per, h_, w_, 4, c)
+        mean_g = jnp.mean(xg, axis=(1, 2, 3, 4))                # (G, C)
+        var_g = jnp.mean(jnp.square(xg), axis=(1, 2, 3, 4)) - jnp.square(mean_g)
+        n = per * h_ * w_ * 4
+        unbiased_g = var_g * (n / max(n - 1, 1))
+        m_run, v_run = state["mean"], state["var"]
+        for i in range(groups):
+            m_run = (1 - momentum) * m_run + momentum * mean_g[i]
+            v_run = (1 - momentum) * v_run + momentum * unbiased_g[i]
+        new_state = {"mean": m_run, "var": v_run}
+        mean = jnp.repeat(mean_g, per, axis=0)                  # (N, C)
+        var = jnp.repeat(var_g, per, axis=0)
+    elif train:
         mean = jnp.mean(xf, axis=(0, 1, 2, 3))
         var = jnp.mean(jnp.square(xf), axis=(0, 1, 2, 3)) - jnp.square(mean)
         n = n_ * h_ * w_ * 4

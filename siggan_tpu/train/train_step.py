@@ -87,6 +87,8 @@ def d_step(
     drop_key: jax.Array, cfg: TrainConfig, d_tx,
     y_real: jax.Array | None = None,
     real_packed: bool = False,
+    fake: jax.Array | None = None,
+    y_fake: jax.Array | None = None,
 ) -> Tuple[TrainState, Metrics]:
     """One discriminator update on a real batch + freshly generated fakes.
 
@@ -95,20 +97,25 @@ def d_step(
 
     ``real_packed``: the real batch is ALREADY in 2x2 space-to-depth form
     (the resident pipeline packs in bulk at epoch granularity).
+
+    ``fake`` (+ ``y_fake``): precomputed stop-gradient fakes from the fused
+    grouped generator forward (``fused_iteration``); the in-step G forward
+    and its g_bn update are skipped — the caller owns the BN state fold.
     """
     cdt = _dtype(cfg)
     packed = _packed(cfg)
     b = real.shape[0]
     conditional = cfg.model.num_classes > 0
-    y_fake = None
-    if conditional:
-        noise_key, yk = jax.random.split(noise_key)
-        y_fake = _fake_labels(yk, b, cfg)
-    z = generator.generate_latent(noise_key, b, cfg.model)
-    fake, g_bn = generator.apply_fn(
-        state.g_params, state.g_bn, z, cfg.model, train=True,
-        compute_dtype=cdt, packed_output=packed, y=y_fake)
-    fake = jax.lax.stop_gradient(fake)
+    g_bn = None
+    if fake is None:
+        if conditional:
+            noise_key, yk = jax.random.split(noise_key)
+            y_fake = _fake_labels(yk, b, cfg)
+        z = generator.generate_latent(noise_key, b, cfg.model)
+        fake, g_bn = generator.apply_fn(
+            state.g_params, state.g_bn, z, cfg.model, train=True,
+            compute_dtype=cdt, packed_output=packed, y=y_fake)
+        fake = jax.lax.stop_gradient(fake)
     if packed and not real_packed:
         from siggan_tpu.ops.packed import space_to_depth
         real = space_to_depth(real)
@@ -167,7 +174,9 @@ def d_step(
         metrics["aux_acc_real"] = aux_acc
     metrics["d_accuracy"] = 0.5 * (metrics["d_acc_real"] + metrics["d_acc_fake"])
     new_state = state.replace(
-        g_bn=g_bn, d_params=d_params, d_state=d_state, d_opt=d_opt)
+        d_params=d_params, d_state=d_state, d_opt=d_opt)
+    if g_bn is not None:
+        new_state = new_state.replace(g_bn=g_bn)
     return new_state, metrics
 
 
@@ -212,6 +221,104 @@ def g_step(
     }
     if cfg.log_grad_norms:
         metrics["g_grad_norm"] = optax.global_norm(grads)
+    new_state = state.replace(
+        g_params=g_params, g_bn=g_bn, d_state=d_state, g_opt=g_opt)
+    if cfg.ema_decay > 0:
+        new_state = new_state.replace(g_ema=ema_update(
+            state.g_ema, g_params, g_bn, cfg.ema_decay))
+    return new_state, metrics
+
+
+def fused_iteration(
+    state: TrainState, real: jax.Array, nkeys: jax.Array, dkeys: jax.Array,
+    cfg: TrainConfig, d_tx, g_tx,
+    y_real: jax.Array | None = None,
+    real_packed: bool = False,
+) -> Tuple[TrainState, Metrics]:
+    """n_critic D updates + one G update with every generator forward merged
+    into ONE grouped-batch forward — numerically exact vs the sequential path.
+
+    All n_critic+1 G forwards in an iteration run under the SAME G params
+    (only D changes between sub-steps), so they batch into one
+    ``(n_critic+1)*b`` forward with per-group BatchNorm statistics
+    (``ops/norm.py groups=``): each group normalizes with its own batch
+    stats — identical outputs row-for-row — and the running estimate folds
+    the groups in their sequential order. The G-step gradient comes out of
+    the merged forward's VJP with zero cotangents on the stop-gradient
+    groups (those rows contribute exactly nothing to the param gradient
+    because no BN statistic crosses group boundaries). Noise/label key
+    derivation matches the sequential path draw-for-draw, so the two modes
+    produce identical trajectories (tests/test_train_step.py).
+
+    Why: at b64 the generator's convs are small; one 2x-batch forward keeps
+    the MXU fed where two half-size launches stall on overheads, and the
+    packed-kernel re-indexing of ops/packed.py is shared by all groups.
+    """
+    cdt = _dtype(cfg)
+    packed = _packed(cfg)
+    b = real.shape[0]
+    k = cfg.n_critic + 1
+    conditional = cfg.model.num_classes > 0
+    aux_on = _aux_on(cfg)
+
+    zs, ys = [], []
+    for i in range(k):
+        nk = nkeys[i]
+        y_i = None
+        if conditional:
+            nk, yk = jax.random.split(nk)
+            y_i = _fake_labels(yk, b, cfg)
+        zs.append(generator.generate_latent(nk, b, cfg.model))
+        ys.append(y_i)
+    z_all = jnp.concatenate(zs, axis=0)
+    y_all = jnp.concatenate(ys, axis=0) if conditional else None
+
+    def g_fwd(g_params):
+        return generator.apply_fn(
+            g_params, state.g_bn, z_all, cfg.model, train=True,
+            compute_dtype=cdt, packed_output=packed, y=y_all, bn_groups=k)
+
+    (fake_all, g_bn), g_vjp = jax.vjp(g_fwd, state.g_params)
+    fake_sg = jax.lax.stop_gradient(fake_all)
+
+    metrics: Metrics = {}
+    for i in range(cfg.n_critic):
+        state, metrics = d_step(
+            state, real, nkeys[i], dkeys[i], cfg, d_tx, y_real,
+            real_packed=real_packed,
+            fake=jax.lax.slice_in_dim(fake_sg, i * b, (i + 1) * b, axis=0),
+            y_fake=ys[i])
+
+    # G update: loss head through the freshly updated D on the last group;
+    # the fake cotangent (zeros elsewhere) flows back through the merged
+    # forward. Mirrors g_step exactly, including the AC-GAN steering term.
+    y_g = ys[-1]
+    fake_g = jax.lax.slice_in_dim(fake_all, (k - 1) * b, k * b, axis=0)
+
+    def g_head(fake_):
+        out, d_state = discriminator.apply_fn(
+            state.d_params, state.d_state, fake_, cfg.model,
+            train=True, rng=dkeys[k - 1], compute_dtype=cdt,
+            packed_input=packed, y=y_g, aux=aux_on)
+        logits, aux_logits = out if aux_on else (out, None)
+        loss = _bce_mean(logits, 1.0)
+        if aux_on:
+            loss = loss + cfg.aux_weight * _ce_mean(aux_logits, y_g)
+        return loss, (d_state, logits)
+
+    (g_loss, (d_state, logits_g)), dfake_g = jax.value_and_grad(
+        g_head, has_aux=True)(jax.lax.stop_gradient(fake_g))
+    cot = jnp.concatenate(
+        [jnp.zeros(((k - 1) * b,) + fake_all.shape[1:], fake_all.dtype),
+         dfake_g.astype(fake_all.dtype)], axis=0)
+    (g_grads,) = g_vjp((cot, jax.tree_util.tree_map(jnp.zeros_like, g_bn)))
+    g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+    g_params = optax.apply_updates(state.g_params, g_updates)
+
+    metrics["g_loss"] = g_loss
+    metrics["d_on_g_mean"] = jnp.mean(jax.nn.sigmoid(logits_g))
+    if cfg.log_grad_norms:
+        metrics["g_grad_norm"] = optax.global_norm(g_grads)
     new_state = state.replace(
         g_params=g_params, g_bn=g_bn, d_state=d_state, g_opt=g_opt)
     if cfg.ema_decay > 0:
@@ -350,6 +457,12 @@ def make_train_step(cfg: TrainConfig, real_pre_packed: bool = False):
 
         nkeys = jax.random.split(nk, cfg.n_critic + 1)
         dkeys = jax.random.split(dk, cfg.n_critic + 1)
+
+        if cfg.fuse_g_forwards:
+            state, metrics = fused_iteration(
+                state, real, nkeys, dkeys, cfg, d_tx, g_tx, y_real,
+                real_packed=real_pre_packed)
+            return state.replace(step=state.step + 1), metrics
 
         metrics: Metrics = {}
         for i in range(cfg.n_critic):  # static unroll; n_critic is tiny

@@ -263,3 +263,66 @@ def test_bulk_augment_matches_in_step_distribution():
     assert a.shape == images.shape
     assert float(jnp.abs(a).max()) <= 1.0 + 1e-5
     assert float(jnp.abs(a - b).max()) > 0   # fresh transforms per key
+
+
+def _run_steps(cfg, batch, n=2):
+    state = create_train_state(cfg)
+    step = jax.jit(make_train_step(cfg))
+    ms = []
+    for _ in range(n):
+        state, m = step(state, batch)
+    return state, m
+
+
+def _assert_states_close(sa, sb, tol=2e-5):
+    for la, lb in zip(jax.tree_util.tree_leaves(sa.g_params),
+                      jax.tree_util.tree_leaves(sb.g_params)):
+        np.testing.assert_allclose(la, lb, rtol=tol, atol=tol)
+    for la, lb in zip(jax.tree_util.tree_leaves(sa.d_params),
+                      jax.tree_util.tree_leaves(sb.d_params)):
+        np.testing.assert_allclose(la, lb, rtol=tol, atol=tol)
+    for la, lb in zip(jax.tree_util.tree_leaves(sa.g_bn),
+                      jax.tree_util.tree_leaves(sb.g_bn)):
+        np.testing.assert_allclose(la, lb, rtol=tol, atol=tol)
+
+
+@pytest.mark.slow  # compile-heavy equivalence proof (~70 s CPU)
+def test_fused_g_forwards_equals_sequential():
+    """The grouped-BN merged generator forward (fuse_g_forwards, the default)
+    is numerically equivalent to the sequential n_critic+1 forwards."""
+    batch = _fake_batch()
+    sa, ma = _run_steps(_cfg(fuse_g_forwards=True), batch)
+    sb, mb = _run_steps(_cfg(fuse_g_forwards=False), batch)
+    _assert_states_close(sa, sb)
+    for k in ("d_loss", "g_loss", "d_real_mean", "d_on_g_mean"):
+        np.testing.assert_allclose(ma[k], mb[k], rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow  # second compile pair; same proof at n_critic=2 + conditional
+def test_fused_g_forwards_equals_sequential_ncritic_conditional():
+    batch = _fake_batch()
+    y = jnp.asarray(np.random.RandomState(1).randint(0, 4, size=16))
+    for kw in (dict(n_critic=2),
+               dict(model=ModelConfig(latent_dim=16, image_size=64,
+                                      base_features=32, num_classes=4),
+                    batch_size=16, compute_dtype="float32", seed=0)):
+        if "model" in kw:
+            ca = TrainConfig(fuse_g_forwards=True, **kw)
+            cb = TrainConfig(fuse_g_forwards=False, **kw)
+            args = (batch, y)
+        else:
+            ca, cb = _cfg(fuse_g_forwards=True, **kw), _cfg(fuse_g_forwards=False, **kw)
+            args = (batch,)
+        stepa = jax.jit(make_train_step(ca))
+        stepb = jax.jit(make_train_step(cb))
+        sa, sb = create_train_state(ca), create_train_state(cb)
+        for _ in range(2):
+            sa, ma = stepa(sa, *args)
+            sb, mb = stepb(sb, *args)
+        # 5e-4: the merged per-group BN reduction accumulates in a different
+        # order than the separate calls (~1 ulp in f32), and two Adam steps
+        # amplify that; at n_critic=1 the same comparison holds at 2e-5
+        # (test above). 0.06% of elements drift, none systematically.
+        _assert_states_close(sa, sb, tol=5e-4)
+        np.testing.assert_allclose(ma["g_loss"], mb["g_loss"], rtol=5e-4,
+                                   atol=5e-4)
