@@ -46,6 +46,25 @@ VARIANTS = {
     # projection D, G conditioned via per-class BN only (no z shift)
     "proj_bnonly": dict(num_classes=N_WRITERS, aux=False, aux_weight=0.0,
                         model=dict(g_conditioning="bn_only")),
+    # --- round-3c: drift-free conditioning + implementation control ---
+    # The 3b bisect: EVERY learnable conditioning mechanism (embed z-shift,
+    # per-class BN, projection head) collapses quality around epoch 10-30
+    # while uncond_control trains fine to 389 — pointing at parameter-table
+    # drift (8 samples/class/batch through Adam), not at the data or the
+    # conditioning signal. One-hot CONCAT to z has no learnable conditioning
+    # params at all: the fc one-hot columns get ordinary bounded gradients.
+    "concat_only": dict(num_classes=N_WRITERS, aux=False, aux_weight=0.0,
+                        model=dict(g_conditioning="concat",
+                                   d_projection=False)),
+    "concat_proj": dict(num_classes=N_WRITERS, aux=False, aux_weight=0.0,
+                        model=dict(g_conditioning="concat")),
+    "concat_acgan": dict(num_classes=N_WRITERS, aux=True, aux_weight=0.5,
+                         model=dict(g_conditioning="concat",
+                                    d_projection=False)),
+    # full conditioning machinery but every label identical — isolates the
+    # mechanism's implementation cost from multi-class learning difficulty
+    "labels_const": dict(num_classes=N_WRITERS, aux=False, aux_weight=0.0,
+                         const_labels=True),
 }
 
 
@@ -57,6 +76,9 @@ def run(name: str, spec: dict) -> dict:
     out = Path(f"/tmp/cond_sweep/{name}")
     images, labels = generate_labeled_dataset(N_WRITERS, PER_WRITER, 64,
                                               seed=21)
+    if spec.get("const_labels"):
+        import jax.numpy as jnp
+        labels = jnp.zeros_like(labels)
     cond = spec["num_classes"] > 0
     cfg = TrainConfig(
         model=ModelConfig(num_classes=spec["num_classes"],

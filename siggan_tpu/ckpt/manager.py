@@ -204,7 +204,13 @@ def infer_architecture(g_params) -> Dict[str, int]:
     """Infer (latent_dim, image_size, base_features) from a bare generator
     param tree — parity with ``utils/inference.py:20-55`` which infers
     architecture from state-dict shapes."""
-    latent_dim, n_fc = g_params["fc"]["w"].shape
+    fc_in, n_fc = g_params["fc"]["w"].shape
+    # NOTE: g_conditioning="concat" widens fc by num_classes one-hot columns,
+    # which a BARE tree cannot disambiguate — conditional checkpoints always
+    # carry their config (load_generator returns it), so this fallback only
+    # needs to be exact for unconditional trees, like the reference's
+    # (utils/inference.py:20-55 has the same limitation).
+    latent_dim = fc_in
     c0 = n_fc // 16
     n_blocks = len(g_params["blocks"])
     image_size = 4 * (2 ** n_blocks)

@@ -47,6 +47,11 @@ class ModelConfig:
     #   "full"       class-conditional BN affine + class embedding added to z
     #   "bn_only"    class-conditional BN affine only
     #   "embed_only" class embedding added to z only (plain BN)
+    #   "concat"     one-hot label concatenated to z (classic cGAN, Mirza &
+    #                Osindero 2014) — NO learnable conditioning params; the
+    #                fc rows for the one-hot columns receive ordinary
+    #                bounded gradients (the round-3 bisect measured every
+    #                learnable-drift mechanism destabilizing training)
     #   "none"       G ignores y (bisect control)
     g_conditioning: str = "full"
     # Projection-discriminator class head (logit += <embed[y], feat>). Off =

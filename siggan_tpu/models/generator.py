@@ -58,13 +58,21 @@ def _cond_bn(cfg: ModelConfig) -> bool:
     return cfg.num_classes > 0 and cfg.g_conditioning in ("full", "bn_only")
 
 
+def _fc_in(cfg: ModelConfig) -> int:
+    """fc input width: latent_dim, plus num_classes one-hot columns for
+    g_conditioning="concat"."""
+    extra = (cfg.num_classes
+             if cfg.num_classes > 0 and cfg.g_conditioning == "concat" else 0)
+    return cfg.latent_dim + extra
+
+
 def init_fn(key: jax.Array, cfg: ModelConfig) -> Tuple[Params, State]:
     c0, blocks = channel_schedule(cfg)
     n_fc = c0 * 4 * 4
     keys = jax.random.split(key, 3 + 2 * len(blocks))
     params: Params = {
         "fc": {
-            "w": init.linear_w(keys[0], (cfg.latent_dim, n_fc)),
+            "w": init.linear_w(keys[0], (_fc_in(cfg), n_fc)),
             "b": init.zeros((n_fc,)),
         },
         "fc_bn": ({"scale": init.bn_scale(keys[1], n_fc),
@@ -162,6 +170,9 @@ def apply_fn(
             raise ValueError("conditional generator requires labels y")
         if cfg.g_conditioning in ("full", "embed_only"):
             z = z + jnp.take(jnp.asarray(params["embed"]), y, axis=0)
+        if cfg.g_conditioning == "concat":
+            z = jnp.concatenate(
+                [z, jax.nn.one_hot(y, cfg.num_classes, dtype=z.dtype)], axis=1)
         if cfg.g_conditioning in ("full", "bn_only"):
             y_bn = y
     h = linear(z, params["fc"]["w"], params["fc"]["b"], compute_dtype=compute_dtype)

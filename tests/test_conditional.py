@@ -106,3 +106,22 @@ def test_writer_labels_from_subdirs(tmp_path):
     labels, names = ds.writer_labels()
     assert names == ["alice", "bob"]
     assert labels.tolist() == [0, 0, 0, 1, 1, 1]
+
+
+def test_concat_conditioning_forward_and_infer():
+    """g_conditioning="concat": one-hot columns widen fc (no learnable
+    conditioning params); output depends on the label; param tree has no
+    embed table and no per-class BN rows."""
+    cfg = ModelConfig(latent_dim=8, image_size=64, base_features=16,
+                      num_classes=4, g_conditioning="concat")
+    g_params, g_bn = generator.init_fn(jax.random.key(0), cfg)
+    assert g_params["fc"]["w"].shape[0] == 8 + 4
+    assert "embed" not in g_params
+    assert g_params["fc_bn"]["scale"].ndim == 1          # plain BN
+    z = jax.random.normal(jax.random.key(1), (4, cfg.latent_dim))
+    img0, _ = generator.apply_fn(g_params, g_bn, z, cfg, train=False,
+                                 y=jnp.zeros((4,), jnp.int32))
+    img1, _ = generator.apply_fn(g_params, g_bn, z, cfg, train=False,
+                                 y=jnp.ones((4,), jnp.int32))
+    assert img0.shape == (4, 64, 64, 1)
+    assert float(jnp.abs(img0 - img1).max()) > 0
