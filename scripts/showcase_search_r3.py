@@ -30,6 +30,12 @@ VARIANTS = {
     "lin_decay": dict(ema=0.0, n=8192, lr="linear"),
     "cos_decay": dict(ema=0.0, n=8192, lr="cosine"),
     "data16k_decay": dict(ema=0.0, n=16384, lr="linear"),
+    # DiffAugment (ops/diffaug.py) on the lin_decay base: the direct
+    # anti-D-overfitting lever for the observed late-training d_acc 0.9+
+    "diffaug": dict(ema=0.0, n=8192, lr="linear",
+                    diffaug="color,translation,cutout"),
+    "diffaug_tc": dict(ema=0.0, n=8192, lr="linear",
+                       diffaug="translation,cutout"),
 }
 
 
@@ -45,6 +51,7 @@ def run(name: str, spec: dict) -> dict:
         optim=OptimConfig(d_lr=1e-4, g_lr=2e-4, lr_schedule=spec["lr"],
                           lr_decay_start_frac=0.5),
         ema_decay=spec["ema"],
+        diffaugment=spec.get("diffaug", ""),
         augment_bulk=spec.get("bulk", True),
         epochs=EPOCHS, sample_interval=0, checkpoint_interval=10,
         fid_interval=10, fid_samples=512,

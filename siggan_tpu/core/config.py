@@ -145,6 +145,12 @@ class TrainConfig:
     # scheduling change — bigger G conv batches keep the MXU busy and the
     # packed-kernel re-indexing runs once instead of twice.
     fuse_g_forwards: bool = True
+    # DiffAugment (Zhao et al. 2020) policy applied to EVERY discriminator
+    # input (reals and fakes, differentiable, fresh draws per step) — the
+    # standard anti-D-overfitting lever for small datasets. "" = off
+    # (reference-faithful); e.g. "color,translation,cutout". See
+    # ops/diffaug.py for the packed-layout-exact policy definitions.
+    diffaugment: str = ""
     seed: int = 42
 
     # Numerics: params kept in f32; matmul/conv compute in bf16 on TPU when

@@ -127,6 +127,10 @@ def d_step(
     # spectral norm this runs ONE power iteration per D step where the
     # reference's two sequential forwards ran two — same fixed point.
     both = jnp.concatenate([real.astype(fake.dtype), fake], axis=0)
+    if cfg.diffaugment:
+        from siggan_tpu.ops.diffaug import diff_augment
+        both = diff_augment(both, jax.random.fold_in(drop_key, 7),
+                            cfg.diffaugment, packed)
 
     y_both = (jnp.concatenate([y_real, y_fake], axis=0)
               if conditional else None)
@@ -198,6 +202,10 @@ def g_step(
         fake, g_bn = generator.apply_fn(
             g_params, state.g_bn, z, cfg.model, train=True,
             compute_dtype=cdt, packed_output=packed, y=y)
+        if cfg.diffaugment:
+            from siggan_tpu.ops.diffaug import diff_augment
+            fake = diff_augment(fake, jax.random.fold_in(drop_key, 7),
+                                cfg.diffaugment, packed)
         out, d_state = discriminator.apply_fn(
             state.d_params, state.d_state, fake, cfg.model,
             train=True, rng=drop_key, compute_dtype=cdt, packed_input=packed,
@@ -296,6 +304,10 @@ def fused_iteration(
     fake_g = jax.lax.slice_in_dim(fake_all, (k - 1) * b, k * b, axis=0)
 
     def g_head(fake_):
+        if cfg.diffaugment:
+            from siggan_tpu.ops.diffaug import diff_augment
+            fake_ = diff_augment(fake_, jax.random.fold_in(dkeys[k - 1], 7),
+                                 cfg.diffaugment, packed)
         out, d_state = discriminator.apply_fn(
             state.d_params, state.d_state, fake_, cfg.model,
             train=True, rng=dkeys[k - 1], compute_dtype=cdt,
@@ -357,6 +369,10 @@ def shared_fakes_step(
         real = space_to_depth(real)
     both = jnp.concatenate(
         [real.astype(fake.dtype), jax.lax.stop_gradient(fake)], axis=0)
+    if cfg.diffaugment:
+        from siggan_tpu.ops.diffaug import diff_augment
+        both = diff_augment(both, jax.random.fold_in(dk_d, 7),
+                            cfg.diffaugment, packed)
 
     def d_loss_fn(d_params):
         logits, d_state = discriminator.apply_fn(
@@ -375,6 +391,10 @@ def shared_fakes_step(
     # cotangent flows back through the saved forward (one zero cotangent for
     # the aux g_bn output).
     def g_head(fake_):
+        if cfg.diffaugment:
+            from siggan_tpu.ops.diffaug import diff_augment
+            fake_ = diff_augment(fake_, jax.random.fold_in(dk_g, 7),
+                                 cfg.diffaugment, packed)
         logits, d_state2 = discriminator.apply_fn(
             d_params, d_state, fake_, cfg.model, train=True, rng=dk_g,
             compute_dtype=cdt, packed_input=packed)

@@ -28,6 +28,7 @@ def _batch(n=8):
     return jnp.asarray(rs.rand(n, 64, 64, 1).astype(np.float32) * 2 - 1)
 
 
+@pytest.mark.slow  # compile-heavy full-step test (fast-lane budget, VERDICT r2 #7)
 def test_ema_tracks_weights_exactly():
     """After k steps the EMA shadow equals the closed-form weighted sum of
     the per-step weight trajectories."""
@@ -66,6 +67,7 @@ def test_ema_off_is_none_and_training_identical():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow  # compile-heavy full-step test (fast-lane budget, VERDICT r2 #7)
 def test_eval_generate_uses_ema(tmp_path):
     cfg = _cfg(ema_decay=0.999)
     state = create_train_state(cfg)
@@ -86,6 +88,7 @@ def test_eval_generate_uses_ema(tmp_path):
     assert float(jnp.abs(direct - raw).max()) > 0
 
 
+@pytest.mark.slow  # compile-heavy full-step test (fast-lane budget, VERDICT r2 #7)
 def test_ema_checkpoint_roundtrip_and_load_generator(tmp_path):
     from siggan_tpu.ckpt.manager import CheckpointManager, load_generator
 
@@ -108,6 +111,7 @@ def test_ema_checkpoint_roundtrip_and_load_generator(tmp_path):
         np.asarray(jax.tree_util.tree_leaves(state.g_ema["params"])[0]))
 
 
+@pytest.mark.slow  # compile-heavy full-step test (fast-lane budget, VERDICT r2 #7)
 def test_acgan_aux_step_runs_and_classifier_learns_signal():
     """With aux_weight on, the fused step runs, reports aux_acc_real, and
     the D aux-head gradient is nonzero (the steering signal exists)."""
@@ -164,6 +168,7 @@ def test_class_balanced_fake_labels():
     assert yu.min() >= 0 and yu.max() < 4
 
 
+@pytest.mark.slow  # compile-heavy full-step test (fast-lane budget, VERDICT r2 #7)
 def test_ema_state_survives_donation():
     """The EMA shadow must not alias g_params/g_bn: the trainer jits with
     donate_argnums=(0,) and aliased leaves trigger XLA's 'donate the same
