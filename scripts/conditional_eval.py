@@ -1,10 +1,17 @@
 """Conditional (v2.0) quality run + class-fidelity evaluation.
 
-Trains the conditional model on writer-labeled synthetic signatures, then
-measures CLASS FIDELITY: for each writer c, FID(fake_c, real_c) should be
-lower than FID(fake_c, real_OTHER) — i.e. conditioning steers generation
-toward the right writer, not just any signature. One shared random-init
-backbone for every measurement. Writes docs/examples/conditional.json.
+Measures CLASS FIDELITY of a conditional run: for each writer c,
+FID(fake_c, real_c) should be lower than FID(fake_c, real_OTHER) — i.e.
+conditioning steers generation toward the right writer, not just any
+signature. Scored on the random-init Inception backbone AND (when
+/tmp/verifier_backbone/verifier.pkl exists — scripts/
+verifier_backbone_eval.py) the domain-trained verifier backbone, whose
+features emphasize writer identity. Writes docs/examples/conditional.json.
+
+Usage:
+  python conditional_eval.py                       # train + evaluate
+  python conditional_eval.py --eval-only           # evaluate RUN
+  python conditional_eval.py --run <dir>           # evaluate a sweep run
 """
 from __future__ import annotations
 
@@ -47,30 +54,45 @@ def train():
     print("train done", flush=True)
 
 
-def evaluate():
+def evaluate(run_dir=None, recipe_note=""):
     import numpy as np
 
     from siggan_tpu.data.synthetic import generate_labeled_dataset
-    from siggan_tpu.eval.fid import FIDScorer
+    from siggan_tpu.eval.fid import FIDScorer, make_scorer
     from siggan_tpu.infer.generate import load_session
 
+    run_dir = Path(run_dir) if run_dir else RUN
     images, labels = generate_labeled_dataset(N_WRITERS, PER_WRITER, 64, seed=21)
-    sess = load_session(str(RUN / "checkpoints"), "best")
+    sess = load_session(str(run_dir / "checkpoints"), "best")
     scorer = FIDScorer()
+    vb = Path("/tmp/verifier_backbone/verifier.pkl")
+    scorer_v = make_scorer(f"verifier:{vb}") if vb.exists() else None
+    per_class_v = {}
     per_class = {}
     n_gen = 512
+    import numpy as _np
+    images_np = _np.asarray(images)
+    labels_np = _np.asarray(labels)
     for c in range(N_WRITERS):
         fake_c = sess.sample(n_gen, seed=100 + c, batch_size=128, class_id=c)
-        real_c = images[labels == c][:n_gen]
-        real_other = images[labels != c]
+        real_c = images_np[labels_np == c][:n_gen]
+        real_other = images_np[labels_np != c]
         rs = np.random.RandomState(c)
         real_other = real_other[rs.permutation(len(real_other))[:n_gen]]
         fid_own = scorer.fid(real_c, fake_c)
         fid_other = scorer.fid(real_other, fake_c)
         per_class[c] = {"fid_own": fid_own, "fid_other": fid_other,
                         "steered": bool(fid_own < fid_other)}
-        print(f"writer {c}: FID own {fid_own:.1f} vs other {fid_other:.1f} "
-              f"{'OK' if fid_own < fid_other else 'MISS'}", flush=True)
+        line = (f"writer {c}: FID own {fid_own:.1f} vs other {fid_other:.1f} "
+                f"{'OK' if fid_own < fid_other else 'MISS'}")
+        if scorer_v is not None:
+            vo = scorer_v.fid(real_c, fake_c)
+            vx = scorer_v.fid(real_other, fake_c)
+            per_class_v[c] = {"fid_own": vo, "fid_other": vx,
+                              "steered": bool(vo < vx)}
+            line += (f" | verifier-FID own {vo:.1f} vs other {vx:.1f} "
+                     f"{'OK' if vo < vx else 'MISS'}")
+        print(line, flush=True)
     n_ok = sum(1 for v in per_class.values() if v["steered"])
 
     # Style-steering probe: per-writer foreground (ink) ratio is a strong
@@ -85,16 +107,20 @@ def evaluate():
         fake_c = sess.sample(128, seed=200 + c, batch_size=128, class_id=c)
         fr_fake.append(calculate_foreground_ratio(fake_c)["mean"])
         fr_real.append(calculate_foreground_ratio(
-            images[labels == c])["mean"])
+            images_np[labels_np == c])["mean"])
     corr = float(np.corrcoef(fr_real, fr_fake)[0, 1])
     print(f"style steering: fg-ratio corr(real, fake | class) = {corr:.3f}",
           flush=True)
 
+    n_ok_v = sum(1 for v in per_class_v.values() if v["steered"])
     out = {
-        "recipe": f"conditional v2.0: {N_WRITERS} writers x {PER_WRITER}, "
-                  f"SN+TTUR+AC-GAN(aux 0.5)+EMA, {EPOCHS} epochs, "
-                  f"best-FID checkpoint (fid_interval=10)",
+        "recipe": recipe_note or
+                  f"conditional v2.0: {N_WRITERS} writers x {PER_WRITER}, "
+                  f"run {run_dir.name}, best-FID checkpoint",
         "per_class": per_class,
+        "per_class_verifier_backbone": per_class_v or None,
+        "classes_steered_by_fid_verifier_backbone":
+            (f"{n_ok_v}/{N_WRITERS}" if per_class_v else None),
         "classes_steered_by_fid": f"{n_ok}/{N_WRITERS}",
         "mean_fid_own": float(np.mean([v["fid_own"] for v in per_class.values()])),
         "mean_fid_other": float(np.mean([v["fid_other"] for v in per_class.values()])),
@@ -116,6 +142,9 @@ def evaluate():
 
 
 if __name__ == "__main__":
-    if "--eval-only" not in sys.argv:
-        train()
-    evaluate()
+    if "--run" in sys.argv:
+        evaluate(run_dir=sys.argv[sys.argv.index("--run") + 1])
+    else:
+        if "--eval-only" not in sys.argv:
+            train()
+        evaluate()

@@ -39,9 +39,27 @@ def main():
     # the 64px A/B measured EMA-0.999 eval consistently WORSE than raw
     # weights after ~epoch 300 (602 vs 730 FID; /tmp/ema_ab, BASELINE.md).
     from siggan_tpu.core.config import OptimConfig
+
+    # DiffAugment: decided by the measured 64px showcase A/B (diffaug arms
+    # vs lin_decay in scripts/showcase_search_r3.py) — the runner executes
+    # that search first; fall back to off if the results are absent.
+    diffaug = ""
+    res_path = Path("/tmp/showcase_r3/results.json")
+    if res_path.exists():
+        res = {r["variant"]: r["best_fid"] for r in json.loads(res_path.read_text())}
+        base = res.get("lin_decay")
+        best_da = min((v for k, v in res.items() if k.startswith("diffaug")),
+                      default=None)
+        if base and best_da and best_da < base:
+            diffaug = ("translation,cutout"
+                       if res.get("diffaug_tc", 1e9) <= res.get("diffaug", 1e9)
+                       else "color,translation,cutout")
+    print(f"diffaugment: {diffaug!r} (from 64px showcase A/B)", flush=True)
+
     cfg = TrainConfig(
         model=ModelConfig(image_size=128, use_spectral_norm=True),
         optim=OptimConfig(d_lr=1e-4, g_lr=2e-4, lr_schedule="linear"),
+        diffaugment=diffaug,
         ema_decay=0.0,
         epochs=EPOCHS, fid_interval=10, fid_samples=256,
         sample_interval=50, checkpoint_interval=10,
@@ -79,7 +97,8 @@ def main():
         print(f"seed {seed}: FID {fids[-1]:.1f}", flush=True)
     out = {
         "recipe": "reference v1.1 (128px, spectral norm), 300 epochs, "
-                  "TTUR d_lr 1e-4, linear LR decay, b64",
+                  "TTUR d_lr 1e-4, linear LR decay, b64"
+                  + (f", diffaugment={diffaug}" if diffaug else ""),
         "train_wall_s": train_s,
         "steady_ms_per_step": steady,
         "images_per_sec_per_chip": cfg.batch_size / steady * 1000,
