@@ -19,10 +19,28 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 RUN = Path("/tmp/quality_run")
 N_IMAGES = 8192
-# Round-3 recipe: the round-2 search winner (spectral norm + TTUR, 400
-# epochs -> FID 383 = 2.84x floor) extended with generator EMA for eval
-# (VERDICT r2 #3 lever) and a longer schedule.
 EPOCHS = 600
+
+
+def _winning_spec():
+    """Recipe = the measured winner of the round-3 showcase search
+    (scripts/showcase_search_r3.py writes /tmp/showcase_r3/results.json);
+    falls back to the lin_decay arm when no results exist."""
+    import json as _json
+
+    from showcase_search_r3 import VARIANTS
+    res_path = Path("/tmp/showcase_r3/results.json")
+    if res_path.exists():
+        res = {r["variant"]: r["best_fid"]
+               for r in _json.loads(res_path.read_text())
+               if r["variant"] in VARIANTS}
+        winner = min(res, key=res.get)
+        print(f"showcase search winner: {winner} "
+              f"(trainer-FID {res[winner]:.1f})", flush=True)
+    else:
+        winner = "lin_decay"
+        print("no search results; defaulting to lin_decay", flush=True)
+    return winner, VARIANTS[winner]
 
 
 def train():
@@ -34,12 +52,19 @@ def train():
 
     from siggan_tpu.core.config import ModelConfig, OptimConfig
 
+    global N_IMAGES
+    winner, spec = _winning_spec()
+    N_IMAGES = spec.get("n", N_IMAGES)
     images = generate_dataset(N_IMAGES, 64, seed=7)
     print(f"dataset: {images.shape}", flush=True)
     cfg = TrainConfig(
         model=ModelConfig(use_spectral_norm=True),
-        optim=OptimConfig(d_lr=1e-4, g_lr=2e-4),   # TTUR (search winner)
-        ema_decay=0.999,
+        optim=OptimConfig(d_lr=1e-4, g_lr=2e-4,    # TTUR (r2 search winner)
+                          lr_schedule=spec.get("lr", "constant"),
+                          lr_decay_start_frac=0.5),
+        ema_decay=spec.get("ema", 0.0),
+        diffaugment=spec.get("diffaug", ""),
+        augment_bulk=spec.get("bulk", True),
         epochs=EPOCHS,
         fid_interval=10, fid_samples=512,
         sample_interval=20, checkpoint_interval=10,
@@ -48,7 +73,7 @@ def train():
         log_dir=str(RUN / "logs"),
         hflip=False,
     )
-    tr = GANTrainer(cfg, images, experiment_name="quality_r2")
+    tr = GANTrainer(cfg, images, experiment_name=f"quality_r3_{winner}")
     summary = tr.train()
     print(f"summary g_loss last={summary['g_loss']['last']:.3f}", flush=True)
     print(f"best: {tr.ckpt.available().get('best')} "
@@ -93,6 +118,7 @@ def evaluate():
     report = {
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
         "recipe": {"epochs": EPOCHS, "n_images": N_IMAGES,
+                   "search_winner": _winning_spec()[0],
                    "checkpoint": "best (lowest FID, fid_interval=10)"},
         "fid_real_vs_real_floor": floor,
         "fid_real_vs_noise_control": ceiling,
