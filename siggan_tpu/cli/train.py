@@ -72,6 +72,15 @@ def parse_arguments(argv=None) -> argparse.Namespace:
     p.add_argument("--aux_weight", type=float, default=0.0,
                    help="AC-GAN auxiliary classifier loss weight "
                         "(conditional models; adds a class head to D)")
+    p.add_argument("--g_conditioning", type=str, default="full",
+                   choices=["full", "bn_only", "embed_only", "concat", "none"],
+                   help="how G consumes the class label (conditional models)")
+    p.add_argument("--lr_schedule", type=str, default="constant",
+                   choices=["constant", "linear", "cosine"],
+                   help="LR decay over the second half of training")
+    p.add_argument("--diffaugment", type=str, default="",
+                   help="DiffAugment policy on D inputs, e.g. "
+                        "'color,translation,cutout' ('' = off)")
     return p.parse_args(argv)
 
 
@@ -87,9 +96,11 @@ def build_config(args: argparse.Namespace):
         model=ModelConfig(latent_dim=args.latent_dim, image_size=args.image_size,
                           use_spectral_norm=args.spectral_norm,
                           num_classes=args.num_classes,
+                          g_conditioning=args.g_conditioning,
                           aux_classifier=args.aux_weight > 0),
         optim=OptimConfig(g_lr=args.g_lr, d_lr=args.d_lr, beta1=args.beta1,
-                          beta2=args.beta2, gradient_clip_value=args.gradient_clip),
+                          beta2=args.beta2, gradient_clip_value=args.gradient_clip,
+                          lr_schedule=args.lr_schedule),
         mesh=MeshConfig(num_data=args.num_data_devices),
         batch_size=args.batch_size, epochs=args.epochs,
         label_smoothing=args.label_smoothing, n_critic=args.n_critic,
@@ -101,6 +112,7 @@ def build_config(args: argparse.Namespace):
         log_dir=log, augment=not args.no_augment, hflip=args.hflip,
         profile_dir=args.profile_dir, fid_interval=args.fid_interval,
         ema_decay=args.ema_decay, aux_weight=args.aux_weight,
+        diffaugment=args.diffaugment,
     )
 
 

@@ -409,7 +409,8 @@ class AppCore:
                      "seed", "sample_interval", "checkpoint_interval",
                      "n_critic", "g_lr", "d_lr", "label_smoothing",
                      "fid_interval", "ema_decay", "aux_weight",
-                     "num_classes"):
+                     "num_classes", "g_conditioning", "lr_schedule",
+                     "diffaugment"):
             if flag in body:
                 extra += [f"--{flag}", str(body[flag])]
         if body.get("spectral_norm"):
