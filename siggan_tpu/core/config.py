@@ -141,10 +141,14 @@ class TrainConfig:
     # sequential forwards (tests/test_train_step.py::test_fused_g_forwards_*):
     # each group normalizes with its own batch stats and the running-stat
     # update composes sequentially; the G gradient is recovered through the
-    # merged VJP with zero cotangents on the stop-gradient groups. Purely a
-    # scheduling change — bigger G conv batches keep the MXU busy and the
-    # packed-kernel re-indexing runs once instead of twice.
-    fuse_g_forwards: bool = True
+    # merged VJP with zero cotangents on the stop-gradient groups. Default
+    # OFF: measured SLOWER on TPU v5e at 64px/b64 (1.856 vs 1.508 ms/step,
+    # K=256 A/B) — the merged VJP differentiates the D-step groups' forward
+    # too (zero cotangents don't prune the shared-primal backward work), so
+    # the saved re-indexing is swamped by a fatter backward graph. Kept as a
+    # tested opt-in (exactness: test_fused_g_forwards_*); see BASELINE.md
+    # round-3 dead ends.
+    fuse_g_forwards: bool = False
     # DiffAugment (Zhao et al. 2020) policy applied to EVERY discriminator
     # input (reals and fakes, differentiable, fresh draws per step) — the
     # standard anti-D-overfitting lever for small datasets. "" = off
