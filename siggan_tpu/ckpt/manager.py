@@ -58,14 +58,33 @@ def _to_save_tree(state: TrainState, *, epoch: int, fixed_noise: jax.Array,
 
 
 class CheckpointManager:
-    def __init__(self, directory: str | Path, cfg: TrainConfig):
+    def __init__(self, directory: str | Path, cfg: TrainConfig,
+                 *, authoritative: bool = False):
+        """``authoritative=True`` (the trainer's manager) makes ``cfg`` the
+        source of truth: a pre-existing sidecar that disagrees with it is
+        overwritten. Without this, reusing a checkpoint directory across
+        runs with different configs leaves a STALE sidecar behind, and any
+        later ``load_generator``/``restore`` rebuilds the restore target
+        (optimizer tree included) from the wrong config — an Orbax
+        structure-mismatch error at best, silently wrong hyperparameters at
+        worst. Read-side managers (``load_generator``) pass the sidecar's
+        own config back in, so they never rewrite it."""
         self.dir = Path(directory).absolute()
         self.dir.mkdir(parents=True, exist_ok=True)
         self.cfg = cfg
         self._ckptr = ocp.PyTreeCheckpointer()
         sidecar = self.dir / SIDECAR
-        if not sidecar.exists() and jax.process_index() == 0:
-            sidecar.write_text(cfg.to_json())
+        if jax.process_index() == 0:
+            if not sidecar.exists():
+                sidecar.write_text(cfg.to_json())
+            elif authoritative and sidecar.read_text() != cfg.to_json():
+                print(f"WARNING: {self.dir} holds a config sidecar from a "
+                      "previous run that differs from the current config; "
+                      "overwriting it. Checkpoints already in this "
+                      "directory were saved under the OLD config and may "
+                      "not restore under the new one — use a fresh "
+                      "checkpoint_dir per recipe.", flush=True)
+                sidecar.write_text(cfg.to_json())
 
     # -- index ---------------------------------------------------------
     def _read_index(self) -> Dict[str, Any]:

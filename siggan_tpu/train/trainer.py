@@ -65,7 +65,8 @@ class GANTrainer:
         self.logger.log_config(cfg.to_dict())
         self.collapse_detector = ModeCollapseDetector(
             cfg.mode_collapse_threshold, cfg.mode_collapse_window)
-        self.ckpt = CheckpointManager(cfg.checkpoint_dir, cfg)
+        self.ckpt = CheckpointManager(cfg.checkpoint_dir, cfg,
+                                      authoritative=True)
 
         data_mb = images.nbytes / 2 ** 20
         self.resident = cfg.resident_data and data_mb <= cfg.resident_max_mb

@@ -62,6 +62,37 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_authoritative_manager_replaces_stale_sidecar(tmp_path, capsys):
+    """Reusing a checkpoint dir across runs with DIFFERENT configs must not
+    leave the first run's sidecar behind: the stale config rebuilds a wrong
+    restore target (optimizer tree included) for every later checkpoint —
+    the exact Orbax structure-mismatch crash the 128px drive hit when its
+    run dir still held a constant-lr sidecar from an earlier recipe."""
+    from siggan_tpu.core.config import OptimConfig
+
+    cfg_a = _cfg(tmp_path)
+    CheckpointManager(cfg_a.checkpoint_dir, cfg_a)  # first run writes sidecar
+
+    cfg_b = _cfg(tmp_path, optim=OptimConfig(
+        d_lr=1e-4, g_lr=2e-4, lr_schedule="linear", lr_total_steps=10))
+    # Non-authoritative (read-side) managers never rewrite the sidecar.
+    CheckpointManager(cfg_b.checkpoint_dir, cfg_b)
+    assert CheckpointManager.load_config(
+        cfg_b.checkpoint_dir).optim.lr_schedule == "constant"
+
+    # The trainer's manager is authoritative: sidecar now matches cfg_b,
+    # so checkpoints saved under the new recipe restore cleanly through
+    # the sidecar-driven load path.
+    mgr = CheckpointManager(cfg_b.checkpoint_dir, cfg_b, authoritative=True)
+    assert "previous run" in capsys.readouterr().out
+    assert CheckpointManager.load_config(
+        cfg_b.checkpoint_dir).optim.lr_schedule == "linear"
+    mgr.save(create_train_state(cfg_b), epoch=0,
+             fixed_noise=jnp.zeros((4, 8)), g_loss=1.0)
+    g_params, _, loaded = load_generator(cfg_b.checkpoint_dir, "latest")
+    assert loaded.optim.lr_schedule == "linear"
+
+
 def test_load_generator_and_arch_inference(tmp_path):
     cfg = _cfg(tmp_path)
     mgr = CheckpointManager(cfg.checkpoint_dir, cfg)
