@@ -65,14 +65,27 @@ def main():
         sample_interval=50, checkpoint_interval=10,
         checkpoint_dir=str(RUN / "checkpoints"),
         sample_dir=str(RUN / "samples"), log_dir=str(RUN / "logs"))
-    tr = GANTrainer(cfg, images, experiment_name="drive128")
-    t0 = time.time()
-    tr.train()
-    train_s = time.time() - t0
-    idx = tr.ckpt.available()
-    ms = [m for m in tr.logger.metrics if "ms_per_step" in m]
-    steady = float(np.median([m["ms_per_step"] for m in ms[2:]] or [0]))
-    print(f"train done in {train_s:.0f}s; steady {steady:.2f} ms/step "
+    if "--eval-only" in sys.argv:
+        # Score an already-trained run: pull wall time / step time from the
+        # run's own logger JSON instead of re-training.
+        logged = json.loads((RUN / "logs" / "drive128.json").read_text())
+        ms = [m["ms_per_step"] for m in logged["metrics"]
+              if "ms_per_step" in m]
+        steady = float(np.median(ms[2:] or [0]))
+        train_s = float(sum(ms) * 64 / 1000)  # ≈ steps/epoch · ms
+        idx = json.loads((RUN / "checkpoints" / "index.json").read_text())
+        from siggan_tpu.core.config import TrainConfig as _TC
+        cfg = _TC.from_dict(logged["config"])
+        diffaug = cfg.diffaugment
+    else:
+        tr = GANTrainer(cfg, images, experiment_name="drive128")
+        t0 = time.time()
+        tr.train()
+        train_s = time.time() - t0
+        idx = tr.ckpt.available()
+        ms = [m for m in tr.logger.metrics if "ms_per_step" in m]
+        steady = float(np.median([m["ms_per_step"] for m in ms[2:]] or [0]))
+    print(f"train {train_s:.0f}s; steady {steady:.2f} ms/step "
           f"({cfg.batch_size / steady * 1000:.0f} img/s)", flush=True)
 
     # Evaluate best checkpoint.
