@@ -66,6 +66,11 @@ class ModelConfig:
     # (/root/reference/model_versions.yaml:74-97).
     aux_classifier: bool = False
     use_spectral_norm: bool = False
+    # Compute D's stride-2 conv INPUT gradients by 2x2 output-phase
+    # decomposition (ops/conv.py:conv_s2p1_phase_dgrad) instead of the
+    # autodiff input-dilated conv. Perf experiment knob; numerics identical
+    # up to fp reassociation (tested).
+    d_dgrad_phases: bool = False
     dropout: float = 0.25          # discriminator Dropout2d rate
     leaky_slope: float = 0.2
     # Generator activation for the ablation grid ("relu" | "leaky_relu"),

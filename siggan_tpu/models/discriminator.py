@@ -139,6 +139,12 @@ def apply_fn(
             # the slowest op in the step (see conv3s1p1_matmul_dgrad).
             h = conv3s1p1_matmul_dgrad(compute_dtype)(
                 h, pack_first_conv_kernel(w), p["b"])
+        elif cfg.d_dgrad_phases:
+            from siggan_tpu.ops.conv import conv_s2p1_phase_dgrad
+            # Stride-2 dgrad as 4 dense phase convs (see conv.py) — the
+            # G-step's backward through D otherwise runs these dgrads on a
+            # 2x-dilated cotangent at ~half MXU efficiency.
+            h = conv_s2p1_phase_dgrad(compute_dtype)(h, w, p["b"])
         else:
             h = conv2d(h, w, p["b"], stride=2, padding=1, compute_dtype=compute_dtype)
         h = jax.nn.leaky_relu(h, cfg.leaky_slope)

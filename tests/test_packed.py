@@ -151,6 +151,47 @@ def test_generator_packed_tail_gradients_match():
                                    rtol=1e-2, atol=1e-3)
 
 
+def test_conv_s2p1_phase_dgrad_matches_autodiff():
+    """The 2x2 phase-decomposed input gradient of a stride-2 k=4 conv must
+    equal the plain conv VJP (up to fp reassociation)."""
+    from siggan_tpu.ops.conv import conv2d, conv_s2p1_phase_dgrad
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 16, 16, 6).astype(np.float32))
+    w = jnp.asarray(rs.randn(4, 4, 6, 10).astype(np.float32) * 0.1)
+    b = jnp.asarray(rs.randn(10).astype(np.float32) * 0.1)
+
+    def loss(fn):
+        return lambda x_, w_, b_: jnp.sum(jnp.sin(fn(x_, w_, b_) * 2.0))
+
+    ref = jax.grad(loss(lambda *a: conv2d(
+        *a, stride=2, padding=1)), argnums=(0, 1, 2))(x, w, b)
+    got = jax.grad(loss(conv_s2p1_phase_dgrad()), argnums=(0, 1, 2))(x, w, b)
+    for a, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+    # Through the discriminator flag: full D backward identical.
+    from siggan_tpu.models import discriminator
+    cfg_a = ModelConfig(image_size=64, base_features=32, dropout=0.0)
+    cfg_b = dataclasses.replace(cfg_a, d_dgrad_phases=True)
+    params, state = discriminator.init_fn(jax.random.key(0), cfg_a)
+    img = jnp.asarray(rs.randn(4, 64, 64, 1).astype(np.float32))
+
+    def dloss(cfg):
+        def f(p, x_):
+            out, _ = discriminator.apply_fn(p, state, x_, cfg, train=True)
+            return jnp.sum(jax.nn.sigmoid(out))
+        return f
+
+    ga = jax.grad(dloss(cfg_a), argnums=(0, 1))(params, img)
+    gb = jax.grad(dloss(cfg_b), argnums=(0, 1))(params, img)
+    for a, g in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_p4_boundary_embeddings_exact():
     """4x4 image-packing embeddings (kept as a measured dead end — the
     boundary rewrite benched SLOWER end-to-end, see BASELINE.md — but the
