@@ -51,6 +51,7 @@ def test_conditional_forward_depends_on_label():
             pass
 
 
+@pytest.mark.slow
 def test_conditional_train_step_runs():
     from siggan_tpu.train.train_step import make_train_step
 

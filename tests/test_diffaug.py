@@ -65,6 +65,7 @@ def test_differentiable():
     assert float(jnp.abs(g).max()) > 0
 
 
+@pytest.mark.slow
 def test_train_step_with_diffaugment_runs():
     from siggan_tpu.core.config import ModelConfig, TrainConfig
     from siggan_tpu.core.state import create_train_state

@@ -212,6 +212,7 @@ def test_adam_low_mem_statistically_matches_adam():
         assert np.abs(a - b).max() < 5e-5, np.abs(a - b).max()
 
 
+@pytest.mark.slow
 def test_moment_dtype_config_wires_through():
     from siggan_tpu.core.config import OptimConfig
     cfg = _cfg(optim=OptimConfig(moment_dtype="bfloat16"))

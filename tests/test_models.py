@@ -13,7 +13,8 @@ from siggan_tpu.core.config import ModelConfig
 from siggan_tpu.models import discriminator, generator
 
 
-@pytest.mark.parametrize("size", [64, 128])
+@pytest.mark.parametrize(
+    "size", [64, pytest.param(128, marks=pytest.mark.slow)])
 def test_generator_shapes_and_range(size):
     cfg = ModelConfig(latent_dim=32, image_size=size, base_features=64)
     params, state = generator.init_fn(jax.random.key(0), cfg)
@@ -28,7 +29,9 @@ def test_generator_shapes_and_range(size):
     assert jnp.allclose(st2["fc_bn"]["mean"], new_state["fc_bn"]["mean"])
 
 
-@pytest.mark.parametrize("size,sn", [(64, False), (64, True), (128, False)])
+@pytest.mark.parametrize(
+    "size,sn", [(64, False), (64, True),
+                pytest.param(128, False, marks=pytest.mark.slow)])
 def test_discriminator_shapes(size, sn):
     cfg = ModelConfig(image_size=size, use_spectral_norm=sn)
     params, state = discriminator.init_fn(jax.random.key(0), cfg)

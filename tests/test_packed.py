@@ -171,8 +171,14 @@ def test_conv_s2p1_phase_dgrad_matches_autodiff():
         np.testing.assert_allclose(np.asarray(g), np.asarray(a),
                                    rtol=1e-4, atol=1e-5)
 
-    # Through the discriminator flag: full D backward identical.
+
+@pytest.mark.slow
+def test_d_dgrad_phases_flag_full_backward_matches():
+    """Through the discriminator flag: full D backward identical (two extra
+    full-D grad compiles — slow lane; the op itself is covered fast)."""
     from siggan_tpu.models import discriminator
+
+    rs = np.random.RandomState(0)
     cfg_a = ModelConfig(image_size=64, base_features=32, dropout=0.0)
     cfg_b = dataclasses.replace(cfg_a, d_dgrad_phases=True)
     params, state = discriminator.init_fn(jax.random.key(0), cfg_a)

@@ -70,6 +70,7 @@ def test_fused_generator_forward_matches_xla():
                                rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_generator_requires_tile_multiple():
     cfg = TrainConfig(compute_dtype="float32")
     state = create_train_state(cfg)
@@ -78,6 +79,7 @@ def test_fused_generator_requires_tile_multiple():
         generator_forward(packed, jnp.zeros((6, 100)), tile=4, interpret=True)
 
 
+@pytest.mark.slow
 def test_train_tail_matches_packed_xla():
     """Fused Pallas train-tail (interpret mode) == the XLA packed tail:
     image, and BN running-state updates for the tail blocks."""

@@ -76,6 +76,7 @@ def test_quality_filter_restores_checkpoint_once(tmp_path, monkeypatch):
     assert scores.shape == (4,)
 
 
+@pytest.mark.slow
 def test_pallas_session_interpolate_pads_to_tile(monkeypatch):
     import siggan_tpu.ops.pallas.generator_fwd as gf
     from siggan_tpu.infer.generate import GeneratorSession

@@ -49,6 +49,7 @@ def test_plots_and_gif_and_montage(tmp_path):
     assert viz.create_training_gif(tmp_path / "empty", tmp_path / "n.gif") is None
 
 
+@pytest.mark.slow
 def test_set_learning_rates_preserves_opt_state():
     import jax
     from siggan_tpu.core.config import ModelConfig, TrainConfig

@@ -94,6 +94,7 @@ def _to_nhwc(t):
 # Inception
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_inception_converter_layout_transpose():
     sd = _bconv_sd(_rs(0), "Conv2d_1a_3x3", 3, 3, 3, 32)
     sd.update(_full_inception_sd())
