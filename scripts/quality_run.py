@@ -61,7 +61,7 @@ def train():
         model=ModelConfig(use_spectral_norm=True),
         optim=OptimConfig(d_lr=1e-4, g_lr=2e-4,    # TTUR (r2 search winner)
                           lr_schedule=spec.get("lr", "constant"),
-                          lr_decay_start_frac=0.5),
+                          lr_decay_start_frac=spec.get("decay_start", 0.5)),
         ema_decay=spec.get("ema", 0.0),
         diffaugment=spec.get("diffaug", ""),
         augment_bulk=spec.get("bulk", True),

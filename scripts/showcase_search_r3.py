@@ -36,6 +36,14 @@ VARIANTS = {
                     diffaug="color,translation,cutout"),
     "diffaug_tc": dict(ema=0.0, n=8192, lr="linear",
                        diffaug="translation,cutout"),
+    # Round-3 second wave, built on the measured diffaug_tc winner (424.6):
+    # is cutout pulling its weight, does more data stack with DiffAugment,
+    # and does decaying from the best-epoch region (289/600) help?
+    "diffaug_t": dict(ema=0.0, n=8192, lr="linear", diffaug="translation"),
+    "diffaug_tc_16k": dict(ema=0.0, n=16384, lr="linear",
+                           diffaug="translation,cutout"),
+    "diffaug_tc_early": dict(ema=0.0, n=8192, lr="linear",
+                             diffaug="translation,cutout", decay_start=0.25),
 }
 
 
@@ -49,7 +57,7 @@ def run(name: str, spec: dict) -> dict:
     cfg = TrainConfig(
         model=ModelConfig(use_spectral_norm=True),
         optim=OptimConfig(d_lr=1e-4, g_lr=2e-4, lr_schedule=spec["lr"],
-                          lr_decay_start_frac=0.5),
+                          lr_decay_start_frac=spec.get("decay_start", 0.5)),
         ema_decay=spec["ema"],
         diffaugment=spec.get("diffaug", ""),
         augment_bulk=spec.get("bulk", True),
