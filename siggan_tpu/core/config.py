@@ -71,6 +71,10 @@ class ModelConfig:
     # autodiff input-dilated conv. Perf experiment knob; numerics identical
     # up to fp reassociation (tested).
     d_dgrad_phases: bool = False
+    # Run D's first packed conv FORWARD in merged-tap matmul form
+    # (ops/packed.py:conv3s1p1_matmul_both): K=36 contraction instead of a
+    # Cin=4 conv. Perf experiment knob; same numerics class as above.
+    d_conv1_matmul: bool = False
     dropout: float = 0.25          # discriminator Dropout2d rate
     leaky_slope: float = 0.2
     # Generator activation for the ablation grid ("relu" | "leaky_relu"),

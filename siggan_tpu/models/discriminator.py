@@ -131,14 +131,17 @@ def apply_fn(
         if packed_input and i == 0:
             if cfg.image_channels != 1:
                 raise ValueError("packed_input requires 1-channel images")
-            from siggan_tpu.ops.packed import (conv3s1p1_matmul_dgrad,
+            from siggan_tpu.ops.packed import (conv3s1p1_matmul_both,
+                                               conv3s1p1_matmul_dgrad,
                                                pack_first_conv_kernel)
             # custom-VJP conv: the input gradient (into the C=4 packed fake,
             # the G step's path back into the generator) runs in merged-tap
             # matmul form — the plain conv dgrad measured 6.5 TF/s and was
-            # the slowest op in the step (see conv3s1p1_matmul_dgrad).
-            h = conv3s1p1_matmul_dgrad(compute_dtype)(
-                h, pack_first_conv_kernel(w), p["b"])
+            # the slowest op left in the step (see conv3s1p1_matmul_dgrad).
+            # d_conv1_matmul additionally runs the FORWARD in that form.
+            make_conv = (conv3s1p1_matmul_both if cfg.d_conv1_matmul
+                         else conv3s1p1_matmul_dgrad)
+            h = make_conv(compute_dtype)(h, pack_first_conv_kernel(w), p["b"])
         elif cfg.d_dgrad_phases:
             from siggan_tpu.ops.conv import conv_s2p1_phase_dgrad
             # Stride-2 dgrad as 4 dense phase convs (see conv.py) — the

@@ -435,6 +435,67 @@ def conv3s1p1_matmul_dgrad(compute_dtype=None):
     return conv
 
 
+def _merged_taps(x: jax.Array) -> jax.Array:
+    """(B, R, S, C) -> (B, R, S, 9C): the 3x3/p=1 neighbourhood of every
+    position, channels-fastest within each tap ((dr*3+dc)*C + c)."""
+    b, r, s, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return jnp.concatenate(
+        [xp[:, dr:dr + r, dc:dc + s, :] for dr in range(3) for dc in range(3)],
+        axis=-1)
+
+
+def conv3s1p1_matmul_both(compute_dtype=None):
+    """``conv3s1p1_matmul_dgrad`` with the FORWARD also in merged-tap matmul
+    form: y = taps(x) @ W36 + b, W36[(dr*3+dc)*C + q, co] = wp[dr,dc,q,co].
+
+    Target: the same first packed D conv (3,3,4,Co). Its direct forward
+    contracts only Cin=4 channels per tap (xprof: 18-38 GF/s on the b64/b128
+    forwards); merging the 9 taps makes the MXU contraction K=36 with Co
+    dense output lanes — the exact transpose of the trick the backward
+    already uses. dw becomes a (9C, Co) dot over batchxspace; dx keeps the
+    K-dense matmul form. Same math up to fp reassociation (tested).
+    """
+    from siggan_tpu.ops.conv import conv2d  # noqa: F401  (docstring parity)
+
+    def forward(x, wp, b):
+        kh, kw, cin, co = wp.shape
+        xc = x if compute_dtype is None else x.astype(compute_dtype)
+        wc = wp if compute_dtype is None else wp.astype(compute_dtype)
+        acc = jnp.float32 if compute_dtype is None else jnp.dtype(compute_dtype)
+        taps = _merged_taps(xc)
+        w36 = wc.reshape(kh * kw * cin, co)
+        y = jax.lax.dot_general(taps, w36, (((3,), (0,)), ((), ())),
+                                preferred_element_type=acc)
+        return y + b.astype(y.dtype)
+
+    @jax.custom_vjp
+    def conv(x, wp, b):
+        return forward(x, wp, b)
+
+    def fwd(x, wp, b):
+        return conv(x, wp, b), (x, wp)
+
+    def bwd(res, dy):
+        x, wp = res
+        kh, kw, cin, co = wp.shape
+        wt = jnp.transpose(wp[::-1, ::-1], (0, 1, 3, 2))
+        dx = conv3_mc_as_matmul(dy, wt, None,
+                                compute_dtype=compute_dtype).astype(x.dtype)
+        xc = x if compute_dtype is None else x.astype(compute_dtype)
+        dyc = dy if compute_dtype is None else dy.astype(compute_dtype)
+        taps = _merged_taps(xc)
+        dw36 = jax.lax.dot_general(
+            taps, dyc, (((0, 1, 2), (0, 1, 2)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dw = dw36.reshape(kh, kw, cin, co).astype(wp.dtype)
+        db = jnp.sum(dy, axis=(0, 1, 2)).astype(jnp.float32)
+        return dx, dw, db
+
+    conv.defvjp(fwd, bwd)
+    return conv
+
+
 # ---------------------------------------------------------------------------
 # Kernel packing as one constant-index gather — MEASURED DEAD END.
 #

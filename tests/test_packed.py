@@ -172,6 +172,33 @@ def test_conv_s2p1_phase_dgrad_matches_autodiff():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_conv3s1p1_matmul_both_matches_autodiff():
+    """Merged-tap matmul FORWARD + matmul dgrad must equal the plain conv
+    and its VJP (up to fp reassociation)."""
+    from siggan_tpu.ops.conv import conv2d
+    from siggan_tpu.ops.packed import conv3s1p1_matmul_both
+
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(2, 12, 12, 4).astype(np.float32))
+    w = jnp.asarray(rs.randn(3, 3, 4, 24).astype(np.float32) * 0.1)
+    b = jnp.asarray(rs.randn(24).astype(np.float32) * 0.1)
+
+    y_ref = conv2d(x, w, b, stride=1, padding=1)
+    y = conv3s1p1_matmul_both()(x, w, b)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(jnp.sin(fn(*a) * 2.0))
+
+    ref = jax.grad(loss(lambda *a: conv2d(*a, stride=1, padding=1)),
+                   argnums=(0, 1, 2))(x, w, b)
+    got = jax.grad(loss(conv3s1p1_matmul_both()), argnums=(0, 1, 2))(x, w, b)
+    for a, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_d_dgrad_phases_flag_full_backward_matches():
     """Through the discriminator flag: full D backward identical (two extra
