@@ -46,14 +46,17 @@ def main():
     diffaug = ""
     res_path = Path("/tmp/showcase_r3/results.json")
     if res_path.exists():
-        res = {r["variant"]: r["best_fid"] for r in json.loads(res_path.read_text())}
+        sys.path.insert(0, str(Path(__file__).parent))
+        from showcase_search_r3 import VARIANTS
+        res = {r["variant"]: r["best_fid"]
+               for r in json.loads(res_path.read_text())
+               if r.get("best_fid") is not None}
         base = res.get("lin_decay")
-        best_da = min((v for k, v in res.items() if k.startswith("diffaug")),
-                      default=None)
-        if base and best_da and best_da < base:
-            diffaug = ("translation,cutout"
-                       if res.get("diffaug_tc", 1e9) <= res.get("diffaug", 1e9)
-                       else "color,translation,cutout")
+        da = {k: v for k, v in res.items()
+              if k in VARIANTS and VARIANTS[k].get("diffaug")}
+        if base and da and min(da.values()) < base:
+            # adopt the measured winner's ACTUAL policy, whichever arm won
+            diffaug = VARIANTS[min(da, key=da.get)]["diffaug"]
     print(f"diffaugment: {diffaug!r} (from 64px showcase A/B)", flush=True)
 
     cfg = TrainConfig(

@@ -85,7 +85,10 @@ def score_run(label, fake_fn, src, real, scorer, lpips_params):
         fake = np.asarray(fake_fn(src, seed), np.float32)
         metrics = compute_metrics(real, fake, inception_params=None,
                                   lpips_params=lpips_params)
-        fids.append(scorer.fid(real, fake))
+        # compute_metrics' internal scorer is the same fixed-seed random-init
+        # backbone as `scorer` (FIDScorer() == make_scorer("random-init")) —
+        # reuse its FID rather than re-extracting 2048 images' features.
+        fids.append(float(metrics["fid"]))
         lps.append(float(metrics.get("lpips_diversity", float("nan"))))
         overlaps.append(ink_overlap(real, fake))
         print(f"{label} gen-seed {seed}: FID {fids[-1]:.1f} "

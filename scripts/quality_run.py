@@ -115,10 +115,14 @@ def evaluate():
         lps.append(float(metrics.get("lpips_diversity", float("nan"))))
         print(f"seed {seed}: FID {fids[-1]:.1f} LPIPS {lps[-1]:.4f}",
               flush=True)
+    # Re-derive the winner here (not the N_IMAGES global, which only
+    # train() updates) so --eval-only reports the dataset size the winning
+    # recipe actually trained on.
+    winner, spec = _winning_spec()
     report = {
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
-        "recipe": {"epochs": EPOCHS, "n_images": N_IMAGES,
-                   "search_winner": _winning_spec()[0],
+        "recipe": {"epochs": EPOCHS, "n_images": spec.get("n", N_IMAGES),
+                   "search_winner": winner,
                    "checkpoint": "best (lowest FID, fid_interval=10)"},
         "fid_real_vs_real_floor": floor,
         "fid_real_vs_noise_control": ceiling,

@@ -181,13 +181,34 @@ class CheckpointManager:
             fixed_noise=jnp.zeros((self.cfg.fixed_noise_samples,
                                    self.cfg.model.latent_dim), jnp.float32),
             best_g_loss=float("inf"))
+        # EMA presence must follow the CHECKPOINT, not the current config:
+        # Orbax requires the restore target's tree structure to match the
+        # saved one, and ema_decay may legitimately differ between the run
+        # that saved and the run that restores (turning EMA on mid-project,
+        # or evaluating an EMA run with a default config).
+        try:
+            saved_keys = self._ckptr.metadata(path).item_metadata.keys()
+            has_ema = "g_ema" in saved_keys
+        except Exception:
+            has_ema = "g_ema" in target
+        if has_ema and "g_ema" not in target:
+            base = {"params": target["g_params"], "bn": target["g_bn"]}
+            target["g_ema"] = jax.tree_util.tree_map(jnp.array, base)
+        elif not has_ema and "g_ema" in target:
+            del target["g_ema"]
         tree = self._ckptr.restore(path, item=jax.device_get(target))
+        g_ema = tree.get("g_ema")
+        if g_ema is None and self.cfg.ema_decay > 0:
+            # Enabling EMA on a pre-EMA checkpoint: seed the shadow from the
+            # restored weights (the EMA then converges from resume onward).
+            g_ema = jax.tree_util.tree_map(
+                jnp.array, {"params": tree["g_params"], "bn": tree["g_bn"]})
         state = TrainState(
             step=jnp.asarray(tree["step"]),
             g_params=tree["g_params"], g_bn=tree["g_bn"],
             d_params=tree["d_params"], d_state=tree["d_state"],
             g_opt=tree["g_opt"], d_opt=tree["d_opt"],
-            g_ema=tree.get("g_ema"))
+            g_ema=g_ema)
         extras = {
             "epoch": int(tree["epoch"]),
             "fixed_noise": jnp.asarray(tree["fixed_noise"]),

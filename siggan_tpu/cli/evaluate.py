@@ -66,6 +66,12 @@ def main(argv=None) -> int:
 
     inception_params = None
     if args.inception_weights:
+        if args.backbone != "random-init":
+            # compute_metrics would silently prefer inception_params and
+            # drop the explicitly requested backbone — refuse instead.
+            raise SystemExit("--inception_weights and --backbone are "
+                             "mutually exclusive (use "
+                             "--backbone torchvision:<file> instead)")
         inception_params = _load_inception_weights(args.inception_weights)
 
     seeds = args.seeds or [args.seed]

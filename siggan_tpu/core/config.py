@@ -81,6 +81,18 @@ class ModelConfig:
     # mirroring ConfigurableGenerator (ablation_vanilla_gan_signatures.py:216).
     g_activation: str = "relu"
 
+    def __post_init__(self):
+        # Fail at construction, not silently at apply time: an unknown
+        # g_conditioning would otherwise fall through every branch and
+        # train an UNCONDITIONAL generator under a conditional recipe.
+        valid = ("full", "bn_only", "embed_only", "concat", "none")
+        if self.g_conditioning not in valid:
+            raise ValueError(f"g_conditioning must be one of {valid}, "
+                             f"got {self.g_conditioning!r}")
+        if self.g_activation not in ("relu", "leaky_relu"):
+            raise ValueError("g_activation must be 'relu' or 'leaky_relu', "
+                             f"got {self.g_activation!r}")
+
 
 @dataclass(frozen=True)
 class OptimConfig:
@@ -89,9 +101,6 @@ class OptimConfig:
     beta1: float = 0.5
     beta2: float = 0.999
     gradient_clip_value: Optional[float] = None  # global-norm clip, None = off
-    # Adam moment storage dtype. "bfloat16" halves the optimizer state's HBM
-    # traffic (the moments are read+written every step); the moment MATH is
-    # still f32 (upcast, update, downcast) and params stay f32 master
     # Learning-rate schedule over the whole run (both nets): "constant"
     # (reference semantics — its scripts mutate LR only by hand via
     # set_learning_rates), "linear" or "cosine" decay. Decay starts at
@@ -107,9 +116,12 @@ class OptimConfig:
     # Required > 0 when lr_schedule != "constant" and building states by
     # hand.
     lr_total_steps: int = 0
-
+    # Adam moment storage dtype. "bfloat16" halves the optimizer state's HBM
+    # traffic (the moments are read+written every step); the moment MATH is
+    # still f32 (upcast, update, downcast) and params stay f32 master
     # weights. Opt-in: equivalence to f32 moments is tested statistically
-    # (tests/test_ema_acgan.py) and the faithful default stays f32.
+    # (tests/test_ema_acgan.py) and the faithful default stays f32 (the
+    # bf16 variant measured SLOWER on v5e — BASELINE.md round-3 dead ends).
     moment_dtype: str = "float32"
 
 

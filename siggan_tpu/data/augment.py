@@ -169,6 +169,66 @@ def _band_radii(h: int, w: int, rotation_degrees: float,
     return int(math.ceil(rv)) + 1, int(math.ceil(rh)) + 1
 
 
+def augment_params(
+    key: jax.Array,
+    n: int,
+    *,
+    rotation_degrees: float = 5.0,
+    scale_lo: float = 0.9,
+    scale_hi: float = 1.1,
+    hflip: bool = False,
+):
+    """Draw the per-image transform parameters for a set of n images:
+    (theta, scale, flip-or-None). Split out from the warp so a caller can
+    draw an EPOCH's parameter table (n scalars per image — trivially cheap)
+    and warp only the images it actually gathers; per-image warps are
+    independent, so warp(batch[idx], params[idx]) == warp(all, params)[idx]."""
+    k_rot, k_scale, k_flip = jax.random.split(key, 3)
+    theta = jax.random.uniform(
+        k_rot, (n,), minval=-rotation_degrees, maxval=rotation_degrees
+    ) * (jnp.pi / 180.0)
+    scale = jax.random.uniform(k_scale, (n,), minval=scale_lo, maxval=scale_hi)
+    flip = jax.random.bernoulli(k_flip, 0.5, (n,)) if hflip else None
+    return theta, scale, flip
+
+
+def augment_apply(
+    batch: jax.Array,
+    theta: jax.Array,
+    scale: jax.Array,
+    flip: jax.Array | None,
+    *,
+    rotation_degrees: float = 5.0,
+    scale_lo: float = 0.9,
+    scale_hi: float = 1.1,
+    dtype=None,
+) -> jax.Array:
+    """Warp a batch with pre-drawn per-image parameters (see
+    ``augment_params``). The rotation/scale BOUNDS still select the banded
+    fast path, so they must match the bounds the params were drawn with."""
+    h, w = batch.shape[1:3]
+    # Flips are an exact mirror — apply them to the image directly so the
+    # warp's transform family stays near-identity (the banded fast path
+    # requires |sx - j| small, which an x-flip violates by construction).
+    if flip is not None:
+        batch = jnp.where(flip[:, None, None, None], batch[:, :, ::-1, :],
+                          batch)
+
+    # Inverse map: rotate by -theta then scale by 1/s.
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    inv_s = 1.0 / scale
+    mats = jnp.stack([
+        jnp.stack([cos * inv_s, -sin * inv_s, jnp.zeros_like(cos)], -1),
+        jnp.stack([sin * inv_s, cos * inv_s, jnp.zeros_like(cos)], -1),
+    ], axis=1)  # (N, 2, 3)
+
+    band_v, band_h = _band_radii(h, w, rotation_degrees, scale_lo, scale_hi)
+    if max(band_v, band_h) <= min(h, w) // 4:
+        return _affine_warp_banded(batch, mats, fill=1.0,
+                                   band_v=band_v, band_h=band_h, dtype=dtype)
+    return _affine_warp_twopass(batch, mats, fill=1.0, dtype=dtype)
+
+
 def augment_batch_inner(
     batch: jax.Array,
     key: jax.Array,
@@ -188,34 +248,12 @@ def augment_batch_inner(
     """
     if not enabled:
         return batch
-    n, h, w = batch.shape[:3]
-    k_rot, k_scale, k_flip = jax.random.split(key, 3)
-    theta = jax.random.uniform(
-        k_rot, (n,), minval=-rotation_degrees, maxval=rotation_degrees
-    ) * (jnp.pi / 180.0)
-    scale = jax.random.uniform(k_scale, (n,), minval=scale_lo, maxval=scale_hi)
-
-    # Flips are an exact mirror — apply them to the image directly so the
-    # warp's transform family stays near-identity (the banded fast path
-    # requires |sx - j| small, which an x-flip violates by construction).
-    if hflip:
-        flip = jax.random.bernoulli(k_flip, 0.5, (n,))
-        batch = jnp.where(flip[:, None, None, None], batch[:, :, ::-1, :],
-                          batch)
-
-    # Inverse map: rotate by -theta then scale by 1/s.
-    cos, sin = jnp.cos(theta), jnp.sin(theta)
-    inv_s = 1.0 / scale
-    mats = jnp.stack([
-        jnp.stack([cos * inv_s, -sin * inv_s, jnp.zeros_like(cos)], -1),
-        jnp.stack([sin * inv_s, cos * inv_s, jnp.zeros_like(cos)], -1),
-    ], axis=1)  # (N, 2, 3)
-
-    band_v, band_h = _band_radii(h, w, rotation_degrees, scale_lo, scale_hi)
-    if max(band_v, band_h) <= min(h, w) // 4:
-        return _affine_warp_banded(batch, mats, fill=1.0,
-                                   band_v=band_v, band_h=band_h, dtype=dtype)
-    return _affine_warp_twopass(batch, mats, fill=1.0, dtype=dtype)
+    theta, scale, flip = augment_params(
+        key, batch.shape[0], rotation_degrees=rotation_degrees,
+        scale_lo=scale_lo, scale_hi=scale_hi, hflip=hflip)
+    return augment_apply(batch, theta, scale, flip,
+                         rotation_degrees=rotation_degrees,
+                         scale_lo=scale_lo, scale_hi=scale_hi, dtype=dtype)
 
 
 augment_batch = partial(jax.jit, static_argnames=(

@@ -544,11 +544,12 @@ def make_resident_train_step(cfg: TrainConfig, n_images: int):
     gather. Per-step host->device traffic is ZERO — on tunneled/high-latency
     links this is the difference between ~20 ms/step and ~3 ms/step.
 
-    Augmentation runs in BULK at epoch granularity (one key per epoch, one
+    Augmentation is keyed at EPOCH granularity (one key per epoch, one
     transform per image per epoch — the cadence the reference's DataLoader
-    produces) and the batch gather reads the augmented, packed, compute-dtype
-    table; see ``_bulk_augment_epoch``. Set ``cfg.augment_bulk=False`` for
-    the per-step in-step augment.
+    produces): this entry point draws the epoch's per-image parameter table
+    (n scalars per image) and warps only the gathered batch, producing
+    exactly the batches ``make_resident_multi_step``'s bulk-augmented table
+    yields. Set ``cfg.augment_bulk=False`` for the per-step in-step augment.
 
     Returned fn: ``(state, images) -> (state, metrics)`` with images the
     full (N, H, W, C) resident array (shard it over the data axis; the
@@ -573,9 +574,27 @@ def make_resident_train_step(cfg: TrainConfig, n_images: int):
         perm = jax.random.permutation(rnglib.at_step(data_stream, epoch), n_images)
         idx = jax.lax.dynamic_slice(
             perm, (bidx * cfg.batch_size,), (cfg.batch_size,))
-        src = (_bulk_augment_epoch(cfg, images, epoch, aug_stream)
-               if bulk else images)
-        real = jnp.take(src, idx, axis=0)
+        real = jnp.take(images, idx, axis=0)
+        if bulk:
+            # Same per-(epoch, image) transforms as the multi-step path's
+            # bulk table, but warp ONLY the gathered batch: the epoch table
+            # is just n_images scalars per parameter, and per-image warps
+            # are independent, so warp(images[idx], params[idx]) ==
+            # warp(all, params)[idx] — without re-warping the whole
+            # resident set every step (tested in test_train_step.py).
+            from siggan_tpu.data.augment import augment_apply, augment_params
+            theta, scale, flip = augment_params(
+                rnglib.at_step(aug_stream, epoch), n_images, hflip=cfg.hflip)
+            real = augment_apply(
+                real, jnp.take(theta, idx), jnp.take(scale, idx),
+                None if flip is None else jnp.take(flip, idx),
+                dtype=_dtype(cfg))
+            dt = _dtype(cfg)
+            if dt is not None:
+                real = real.astype(dt)
+            if _packed(cfg):
+                from siggan_tpu.ops.packed import space_to_depth
+                real = space_to_depth(real)
         if cfg.model.num_classes > 0:
             return base_step(state, real, jnp.take(labels, idx, axis=0))
         return base_step(state, real)

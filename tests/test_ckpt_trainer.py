@@ -93,6 +93,32 @@ def test_authoritative_manager_replaces_stale_sidecar(tmp_path, capsys):
     assert loaded.optim.lr_schedule == "linear"
 
 
+def test_restore_across_ema_config_change(tmp_path):
+    """EMA presence must follow the CHECKPOINT: enabling ema_decay on a
+    pre-EMA run (or restoring an EMA run with a default config) must not
+    hit an Orbax structure mismatch."""
+    # pre-EMA checkpoint, restored under an EMA-enabled config
+    cfg_a = _cfg(tmp_path / "a")
+    mgr_a = CheckpointManager(cfg_a.checkpoint_dir, cfg_a)
+    mgr_a.save(create_train_state(cfg_a), epoch=0,
+               fixed_noise=jnp.zeros((4, 8)), g_loss=1.0)
+    cfg_a_ema = _cfg(tmp_path / "a", ema_decay=0.999)
+    st, _ = CheckpointManager(cfg_a_ema.checkpoint_dir, cfg_a_ema).restore()
+    assert st.g_ema is not None  # shadow seeded from the restored weights
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(st.g_ema["params"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(st.g_params)[0]))
+
+    # EMA checkpoint, restored under a default (ema off) config
+    cfg_b = _cfg(tmp_path / "b", ema_decay=0.999)
+    mgr_b = CheckpointManager(cfg_b.checkpoint_dir, cfg_b)
+    mgr_b.save(create_train_state(cfg_b), epoch=0,
+               fixed_noise=jnp.zeros((4, 8)), g_loss=1.0)
+    cfg_b_off = _cfg(tmp_path / "b")
+    st2, _ = CheckpointManager(cfg_b_off.checkpoint_dir, cfg_b_off).restore()
+    assert st2.g_ema is not None  # the saved shadow still restores
+
+
 def test_load_generator_and_arch_inference(tmp_path):
     cfg = _cfg(tmp_path)
     mgr = CheckpointManager(cfg.checkpoint_dir, cfg)
