@@ -116,6 +116,32 @@ def test_train_start_rejects_double_start(tmp_path, monkeypatch):
     assert "error" in out and "already active" in out["error"]
 
 
+def test_train_start_forwards_round3_flags(tmp_path, monkeypatch):
+    """The panel must pass the round-3 training knobs through to the CLI."""
+    core = AppCore(tmp_path)
+    captured = {}
+
+    def fake_launch(run_dir, data_dir, extra, workdir):
+        captured["extra"] = extra
+        return {"pid": 1}
+
+    monkeypatch.setattr(monitor, "launch_training", fake_launch)
+    core.train_start({"data_dir": "x", "epochs": 5, "fid_interval": 10,
+                      "lr_schedule": "linear", "ema_decay": 0.999,
+                      "diffaugment": "translation,cutout",
+                      "g_conditioning": "concat", "num_classes": 4,
+                      "spectral_norm": True})
+    extra = captured["extra"]
+    for flag, val in (("--lr_schedule", "linear"),
+                      ("--diffaugment", "translation,cutout"),
+                      ("--ema_decay", "0.999"),
+                      ("--fid_interval", "10"),
+                      ("--g_conditioning", "concat"),
+                      ("--num_classes", "4")):
+        assert val == extra[extra.index(flag) + 1]
+    assert "--spectral_norm" in extra
+
+
 def test_export_zip_trust_and_content(tmp_path):
     from PIL import Image
     core = AppCore(tmp_path)
