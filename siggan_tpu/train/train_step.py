@@ -342,7 +342,7 @@ def fused_iteration(
 def shared_fakes_step(
     state: TrainState, real: jax.Array, noise_key: jax.Array,
     drop_key: jax.Array, cfg: TrainConfig, d_tx, g_tx,
-    real_packed: bool = False,
+    real_packed: bool = False, y_real: jax.Array | None = None,
 ) -> Tuple[TrainState, Metrics]:
     """One D update + one G update sharing a SINGLE generator forward.
 
@@ -353,16 +353,28 @@ def shared_fakes_step(
     once under ``jax.vjp`` and its residuals back-propagate the G update, so
     the step saves an entire generator forward vs the faithful default
     (fresh noise per sub-step). Opt in with ``cfg.share_fakes``.
+
+    Conditional (num_classes > 0): the same label threading as the faithful
+    path — sampled fake labels condition G, ``[y_real; y_fake]`` feed D's
+    projection/aux heads, and the G head scores the SAME fakes/labels
+    through the updated D.
     """
     cdt = _dtype(cfg)
     packed = _packed(cfg)
     b = real.shape[0]
+    conditional = cfg.model.num_classes > 0
+    aux_on = _aux_on(cfg)
+    y_fake = None
+    if conditional:
+        noise_key, yk = jax.random.split(noise_key)
+        y_fake = _fake_labels(yk, b, cfg)
     z = generator.generate_latent(noise_key, b, cfg.model)
     dk_d, dk_g = jax.random.split(drop_key)
 
     (fake, g_bn), g_vjp = jax.vjp(
         lambda p: generator.apply_fn(p, state.g_bn, z, cfg.model, train=True,
-                                     compute_dtype=cdt, packed_output=packed),
+                                     compute_dtype=cdt, packed_output=packed,
+                                     y=y_fake),
         state.g_params)
     if packed and not real_packed:
         from siggan_tpu.ops.packed import space_to_depth
@@ -374,12 +386,22 @@ def shared_fakes_step(
         both = diff_augment(both, jax.random.fold_in(dk_d, 7),
                             cfg.diffaugment, packed)
 
+    y_both = (jnp.concatenate([y_real, y_fake], axis=0)
+              if conditional else None)
+
     def d_loss_fn(d_params):
-        logits, d_state = discriminator.apply_fn(
+        out, d_state = discriminator.apply_fn(
             d_params, state.d_state, both, cfg.model,
-            train=True, rng=dk_d, compute_dtype=cdt, packed_input=packed)
+            train=True, rng=dk_d, compute_dtype=cdt, packed_input=packed,
+            y=y_both, aux=aux_on)
+        logits, aux_logits = out if aux_on else (out, None)
         logits_r, logits_f = logits[:b], logits[b:]
         loss = _bce_mean(logits_r, cfg.label_smoothing) + _bce_mean(logits_f, 0.0)
+        if aux_on:
+            aux_loss = _ce_mean(aux_logits[:b], y_real)
+            if cfg.aux_d_on_fakes:
+                aux_loss = aux_loss + _ce_mean(aux_logits[b:], y_fake)
+            loss = loss + cfg.aux_weight * aux_loss
         return loss, (d_state, logits_r, logits_f)
 
     (d_loss, (d_state, logits_r, logits_f)), d_grads = jax.value_and_grad(
@@ -395,10 +417,14 @@ def shared_fakes_step(
             from siggan_tpu.ops.diffaug import diff_augment
             fake_ = diff_augment(fake_, jax.random.fold_in(dk_g, 7),
                                  cfg.diffaugment, packed)
-        logits, d_state2 = discriminator.apply_fn(
+        out, d_state2 = discriminator.apply_fn(
             d_params, d_state, fake_, cfg.model, train=True, rng=dk_g,
-            compute_dtype=cdt, packed_input=packed)
-        return _bce_mean(logits, 1.0), (d_state2, logits)
+            compute_dtype=cdt, packed_input=packed, y=y_fake, aux=aux_on)
+        logits, aux_logits = out if aux_on else (out, None)
+        loss = _bce_mean(logits, 1.0)
+        if aux_on:
+            loss = loss + cfg.aux_weight * _ce_mean(aux_logits, y_fake)
+        return loss, (d_state2, logits)
 
     (g_loss, (d_state, logits_g)), dfake = jax.value_and_grad(
         g_head, has_aux=True)(fake)
@@ -467,12 +493,9 @@ def make_train_step(cfg: TrainConfig, real_pre_packed: bool = False):
             if cfg.n_critic != 1:
                 raise ValueError("share_fakes requires n_critic == 1 "
                                  "(ablation-trainer semantics)")
-            if conditional:
-                raise NotImplementedError(
-                    "share_fakes + conditional not implemented")
             state, metrics = shared_fakes_step(
                 state, real, nk, dk, cfg, d_tx, g_tx,
-                real_packed=real_pre_packed)
+                real_packed=real_pre_packed, y_real=y_real)
             return state.replace(step=state.step + 1), metrics
 
         nkeys = jax.random.split(nk, cfg.n_critic + 1)

@@ -131,6 +131,34 @@ def test_projection_gradient_reaches_class_params_bf16():
         "G class embedding got no gradient"
 
 
+@pytest.mark.slow
+def test_share_fakes_conditional_runs():
+    """share_fakes + conditional (previously a NotImplementedError guard):
+    the shared-forward step must thread labels into G, D's projection, and
+    the aux head, and update the class parameters."""
+    import jax
+
+    from siggan_tpu.core.config import ModelConfig, TrainConfig
+    from siggan_tpu.core.state import create_train_state
+    from siggan_tpu.train.train_step import make_train_step
+
+    cfg = TrainConfig(
+        model=ModelConfig(latent_dim=8, base_features=16, num_classes=4,
+                          aux_classifier=True),
+        share_fakes=True, batch_size=8, compute_dtype="float32", seed=0)
+    state = create_train_state(cfg)
+    step = jax.jit(make_train_step(cfg))
+    real = jnp.asarray(np.random.RandomState(0)
+                       .rand(8, 64, 64, 1).astype(np.float32) * 2 - 1)
+    y = jnp.arange(8, dtype=jnp.int32) % 4
+    new_state, metrics = step(state, real, y)
+    assert np.isfinite(float(metrics["d_loss"]))
+    assert np.isfinite(float(metrics["g_loss"]))
+    emb_moved = float(jnp.max(jnp.abs(
+        new_state.g_params["embed"] - state.g_params["embed"]))) > 0
+    assert emb_moved, "G class embedding got no gradient via shared fakes"
+
+
 def test_writer_labels_from_subdirs(tmp_path):
     from siggan_tpu.data.dataset import SignatureDataset
     from siggan_tpu.data.synthetic import generate_dataset
