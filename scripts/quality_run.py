@@ -59,13 +59,15 @@ def train():
     print(f"dataset: {images.shape}", flush=True)
     cfg = TrainConfig(
         model=ModelConfig(use_spectral_norm=True),
-        optim=OptimConfig(d_lr=1e-4, g_lr=2e-4,    # TTUR (r2 search winner)
+        optim=OptimConfig(d_lr=spec.get("d_lr", 1e-4),  # TTUR (r2 winner)
+                          g_lr=2e-4,
                           lr_schedule=spec.get("lr", "constant"),
                           lr_decay_start_frac=spec.get("decay_start", 0.5)),
         ema_decay=spec.get("ema", 0.0),
         diffaugment=spec.get("diffaug", ""),
         augment_bulk=spec.get("bulk", True),
-        epochs=EPOCHS,
+        n_critic=spec.get("n_critic", 1),
+        epochs=spec.get("epochs", EPOCHS),
         fid_interval=10, fid_samples=512,
         sample_interval=20, checkpoint_interval=10,
         checkpoint_dir=str(RUN / "checkpoints"),

@@ -44,6 +44,16 @@ VARIANTS = {
                            diffaug="translation,cutout"),
     "diffaug_tc_early": dict(ema=0.0, n=8192, lr="linear",
                              diffaug="translation,cutout", decay_start=0.25),
+    # Round-3 wave 2b, still on the diffaug_tc base: two D/G balance levers
+    # (more D steps per G step; slower D via stronger TTUR) and a doubled
+    # schedule (does the best-epoch region move past 600 when the decay
+    # span doubles with it?).
+    "diffaug_tc_ncritic2": dict(ema=0.0, n=8192, lr="linear",
+                                diffaug="translation,cutout", n_critic=2),
+    "diffaug_tc_dlr5": dict(ema=0.0, n=8192, lr="linear",
+                            diffaug="translation,cutout", d_lr=5e-5),
+    "diffaug_tc_1200": dict(ema=0.0, n=8192, lr="linear",
+                            diffaug="translation,cutout", epochs=1200),
 }
 
 
@@ -56,12 +66,15 @@ def run(name: str, spec: dict) -> dict:
     images = generate_dataset(spec["n"], 64, seed=7)
     cfg = TrainConfig(
         model=ModelConfig(use_spectral_norm=True),
-        optim=OptimConfig(d_lr=1e-4, g_lr=2e-4, lr_schedule=spec["lr"],
+        optim=OptimConfig(d_lr=spec.get("d_lr", 1e-4), g_lr=2e-4,
+                          lr_schedule=spec["lr"],
                           lr_decay_start_frac=spec.get("decay_start", 0.5)),
         ema_decay=spec["ema"],
         diffaugment=spec.get("diffaug", ""),
         augment_bulk=spec.get("bulk", True),
-        epochs=EPOCHS, sample_interval=0, checkpoint_interval=10,
+        n_critic=spec.get("n_critic", 1),
+        epochs=spec.get("epochs", EPOCHS),
+        sample_interval=0, checkpoint_interval=10,
         fid_interval=10, fid_samples=512,
         checkpoint_dir=str(out / "checkpoints"),
         sample_dir=str(out / "samples"), log_dir=str(out / "logs"))
