@@ -100,7 +100,9 @@ def run(name: str, spec: dict) -> dict:
     avail = tr.ckpt.available()
     res = {"variant": name, "best_fid": avail.get("best_fid"),
            "best_epoch": avail.get("best")}
-    print(f"[sweep] {name}: best trainer-FID {res['best_fid']:.1f} "
+    bf = res["best_fid"]
+    print(f"[sweep] {name}: best trainer-FID "
+          f"{'n/a' if bf is None else f'{bf:.1f}'} "
           f"@ {res['best_epoch']}", flush=True)
     return res
 

@@ -83,11 +83,8 @@ def score_run(label, fake_fn, src, real, scorer, lpips_params):
     fids, lps, overlaps, metrics = [], [], [], None
     for seed in GEN_SEEDS:
         fake = np.asarray(fake_fn(src, seed), np.float32)
-        metrics = compute_metrics(real, fake, inception_params=None,
+        metrics = compute_metrics(real, fake, scorer=scorer,
                                   lpips_params=lpips_params)
-        # compute_metrics' internal scorer is the same fixed-seed random-init
-        # backbone as `scorer` (FIDScorer() == make_scorer("random-init")) —
-        # reuse its FID rather than re-extracting 2048 images' features.
         fids.append(float(metrics["fid"]))
         lps.append(float(metrics.get("lpips_diversity", float("nan"))))
         overlaps.append(ink_overlap(real, fake))

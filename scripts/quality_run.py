@@ -30,10 +30,15 @@ def _winning_spec():
 
     from showcase_search_r3 import VARIANTS
     res_path = Path("/tmp/showcase_r3/results.json")
+    res = {}
     if res_path.exists():
-        res = {r["variant"]: r["best_fid"]
-               for r in _json.loads(res_path.read_text())
-               if r["variant"] in VARIANTS}
+        # results.json accumulates across reruns: skip null best_fid
+        # (interrupted arms) and keep the BEST entry per variant.
+        for r in _json.loads(res_path.read_text()):
+            v, f = r.get("variant"), r.get("best_fid")
+            if v in VARIANTS and f is not None and f < res.get(v, float("inf")):
+                res[v] = f
+    if res:
         winner = min(res, key=res.get)
         print(f"showcase search winner: {winner} "
               f"(trainer-FID {res[winner]:.1f})", flush=True)
@@ -78,8 +83,9 @@ def train():
     tr = GANTrainer(cfg, images, experiment_name=f"quality_r3_{winner}")
     summary = tr.train()
     print(f"summary g_loss last={summary['g_loss']['last']:.3f}", flush=True)
+    bf = tr.ckpt.available().get("best_fid")
     print(f"best: {tr.ckpt.available().get('best')} "
-          f"fid={tr.ckpt.available().get('best_fid'):.1f}", flush=True)
+          f"fid={'n/a' if bf is None else f'{bf:.1f}'}", flush=True)
 
 
 def evaluate():
@@ -110,10 +116,9 @@ def evaluate():
     fids, lps, metrics = [], [], None
     for seed in (11, 22, 33):
         fake = session.sample(2048, seed=seed, batch_size=256)
-        metrics = compute_metrics(real, fake,
-                                  inception_params=None,
+        metrics = compute_metrics(real, fake, scorer=scorer,
                                   lpips_params=lpips_params)
-        fids.append(scorer.fid(real, fake))
+        fids.append(float(metrics["fid"]))
         lps.append(float(metrics.get("lpips_diversity", float("nan"))))
         print(f"seed {seed}: FID {fids[-1]:.1f} LPIPS {lps[-1]:.4f}",
               flush=True)
@@ -123,7 +128,8 @@ def evaluate():
     winner, spec = _winning_spec()
     report = {
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
-        "recipe": {"epochs": EPOCHS, "n_images": spec.get("n", N_IMAGES),
+        "recipe": {"epochs": spec.get("epochs", EPOCHS),
+                   "n_images": spec.get("n", N_IMAGES),
                    "search_winner": winner,
                    "checkpoint": "best (lowest FID, fid_interval=10)"},
         "fid_real_vs_real_floor": floor,

@@ -198,7 +198,13 @@ class CheckpointManager:
             del target["g_ema"]
         tree = self._ckptr.restore(path, item=jax.device_get(target))
         g_ema = tree.get("g_ema")
-        if g_ema is None and self.cfg.ema_decay > 0:
+        if self.cfg.ema_decay == 0:
+            # Resuming an EMA-tracked checkpoint with EMA off: a restored
+            # shadow would never be updated (train steps skip ema_update at
+            # decay 0) yet eval_generator_weights would prefer it forever,
+            # freezing every FID/best/sample at the old shadow. Drop it.
+            g_ema = None
+        elif g_ema is None:
             # Enabling EMA on a pre-EMA checkpoint: seed the shadow from the
             # restored weights (the EMA then converges from resume onward).
             g_ema = jax.tree_util.tree_map(

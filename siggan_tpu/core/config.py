@@ -92,6 +92,12 @@ class ModelConfig:
         if self.g_activation not in ("relu", "leaky_relu"):
             raise ValueError("g_activation must be 'relu' or 'leaky_relu', "
                              f"got {self.g_activation!r}")
+        if self.aux_classifier and self.num_classes == 0:
+            # e.g. --aux_weight without --num_classes: the aux head would
+            # silently never be built and the requested loss would be a
+            # no-op for the whole run.
+            raise ValueError("aux_classifier requires num_classes > 0 "
+                             "(set num_classes / pass --num_classes)")
 
 
 @dataclass(frozen=True)

@@ -21,13 +21,18 @@ import numpy as np
 def compute_metrics(real: np.ndarray, fake: np.ndarray, *,
                     lpips_subset: int = 100,
                     inception_params=None, lpips_params=None,
-                    fid_backbone: str = "random-init") -> Dict[str, Any]:
+                    fid_backbone: str = "random-init",
+                    scorer=None) -> Dict[str, Any]:
     """Both inputs (N, H, W, 1) float32 in [-1, 1].
 
     ``fid_backbone``: backbone spec for ``eval.fid.make_scorer`` —
     "random-init" | "torchvision:<sd.pt>" | "verifier:<ckpt.pkl>". A trained
     backbone additionally reports the real-vs-real FID floor (split-half)
-    and a feature-space diversity so its band is self-interpreting."""
+    and a feature-space diversity so its band is self-interpreting.
+
+    ``scorer``: pass an already-built ``FIDScorer`` to reuse across calls
+    (skips per-call backbone re-init + re-jit); overrides the other FID
+    backbone arguments."""
     from siggan_tpu.eval import lpips as lpips_mod
     from siggan_tpu.eval.fid import FIDScorer, feature_diversity, make_scorer
     from siggan_tpu.eval.stroke import (calculate_foreground_ratio,
@@ -36,8 +41,10 @@ def compute_metrics(real: np.ndarray, fake: np.ndarray, *,
     results: Dict[str, Any] = {"errors": {}}
 
     try:
-        scorer = (FIDScorer(inception_params) if inception_params is not None
-                  else make_scorer(fid_backbone))
+        if scorer is None:
+            scorer = (FIDScorer(inception_params)
+                      if inception_params is not None
+                      else make_scorer(fid_backbone))
         results["fid"] = scorer.fid(real, fake)
         results["fid_backbone"] = scorer.backbone
         if scorer.backbone.startswith("verifier:"):

@@ -521,15 +521,41 @@ def make_train_step(cfg: TrainConfig, real_pre_packed: bool = False):
     return train_step
 
 
-def _use_bulk_augment(cfg: TrainConfig, n_images: int, n_aug: int) -> bool:
-    """Bulk augmentation is on when enabled and the per-window table of
-    augmented epochs fits comfortably in HBM (compute-dtype sized)."""
+def _use_aug_table(cfg: TrainConfig, n_images: int, n_aug: int) -> bool:
+    """Whether to MATERIALIZE the window's augmented-image table (the fast
+    path): only when it fits comfortably in HBM (compute-dtype sized).
+    Epoch-keyed augmentation itself (``cfg.augment_bulk``) never depends on
+    this — when the table is too big the batch is warped after the gather
+    with the same per-(epoch, image) parameters (see ``_warp_gathered``),
+    so both resident entry points produce identical batches in every
+    config."""
     if not (cfg.augment and cfg.augment_bulk):
         return False
     itemsize = 2 if cfg.compute_dtype == "bfloat16" else 4
     table_mb = (n_aug * n_images * cfg.model.image_size ** 2
                 * cfg.model.image_channels * itemsize) / 2 ** 20
     return table_mb <= cfg.resident_max_mb
+
+
+def _warp_gathered(cfg: TrainConfig, real: jax.Array, theta, scale, flip,
+                   idx: jax.Array) -> jax.Array:
+    """Warp an already-gathered batch with its epoch's per-image parameter
+    table, then cast + pack exactly as ``_bulk_augment_epoch``'s table
+    would. Per-image warps are independent, so
+    ``warp(images[idx], params[idx]) == warp(all, params)[idx]`` (tested in
+    test_train_step.py)."""
+    from siggan_tpu.data.augment import augment_apply
+    real = augment_apply(
+        real, jnp.take(theta, idx), jnp.take(scale, idx),
+        None if flip is None else jnp.take(flip, idx),
+        dtype=_dtype(cfg))
+    dt = _dtype(cfg)
+    if dt is not None:
+        real = real.astype(dt)
+    if _packed(cfg):
+        from siggan_tpu.ops.packed import space_to_depth
+        real = space_to_depth(real)
+    return real
 
 
 def _bulk_augment_epoch(cfg: TrainConfig, images: jax.Array, epoch,
@@ -582,7 +608,7 @@ def make_resident_train_step(cfg: TrainConfig, n_images: int):
     if steps_per_epoch < 1:
         raise ValueError(
             f"dataset ({n_images}) smaller than global batch ({cfg.batch_size})")
-    bulk = _use_bulk_augment(cfg, n_images, 1)
+    bulk = bool(cfg.augment and cfg.augment_bulk)
     inner_cfg = cfg.replace(augment=False) if bulk else cfg
     base_step = make_train_step(inner_cfg,
                                 real_pre_packed=bulk and _packed(cfg))
@@ -601,23 +627,12 @@ def make_resident_train_step(cfg: TrainConfig, n_images: int):
         if bulk:
             # Same per-(epoch, image) transforms as the multi-step path's
             # bulk table, but warp ONLY the gathered batch: the epoch table
-            # is just n_images scalars per parameter, and per-image warps
-            # are independent, so warp(images[idx], params[idx]) ==
-            # warp(all, params)[idx] — without re-warping the whole
-            # resident set every step (tested in test_train_step.py).
-            from siggan_tpu.data.augment import augment_apply, augment_params
+            # is just n_images scalars per parameter (no memory gate
+            # needed), without re-warping the whole resident set every step.
+            from siggan_tpu.data.augment import augment_params
             theta, scale, flip = augment_params(
                 rnglib.at_step(aug_stream, epoch), n_images, hflip=cfg.hflip)
-            real = augment_apply(
-                real, jnp.take(theta, idx), jnp.take(scale, idx),
-                None if flip is None else jnp.take(flip, idx),
-                dtype=_dtype(cfg))
-            dt = _dtype(cfg)
-            if dt is not None:
-                real = real.astype(dt)
-            if _packed(cfg):
-                from siggan_tpu.ops.packed import space_to_depth
-                real = space_to_depth(real)
+            real = _warp_gathered(cfg, real, theta, scale, flip, idx)
         if cfg.model.num_classes > 0:
             return base_step(state, real, jnp.take(labels, idx, axis=0))
         return base_step(state, real)
@@ -658,7 +673,11 @@ def make_resident_multi_step(cfg: TrainConfig, n_images: int, scan_steps: int):
     span = -(-scan_steps // steps_per_epoch)           # ceil
     n_epochs = span + (1 if aligned else 2)            # perm table (cheap)
     n_aug = span + (0 if aligned else 1)               # augmented-table epochs
-    bulk = _use_bulk_augment(cfg, n_images, n_aug)
+    bulk = bool(cfg.augment and cfg.augment_bulk)
+    # Fast path: materialize the window's augmented-image table when it
+    # fits HBM; otherwise warp each gathered batch with the same
+    # per-(epoch, image) parameter tables — identical batches either way.
+    table = _use_aug_table(cfg, n_images, n_aug)
     inner_cfg = cfg.replace(augment=False) if bulk else cfg
     base_step = make_train_step(inner_cfg,
                                 real_pre_packed=bulk and _packed(cfg))
@@ -674,7 +693,7 @@ def make_resident_multi_step(cfg: TrainConfig, n_images: int, scan_steps: int):
         perms = jax.vmap(lambda e: jax.random.permutation(
             rnglib.at_step(data_stream, e0 + e), n_images))(
                 jnp.arange(n_epochs))
-        if bulk:
+        if bulk and table:
             # Hoisted augmentation: augment+pack the dataset once per epoch
             # in the window (lax.map keeps peak memory at one epoch), then
             # the scan body gathers from the flattened table — zero
@@ -684,16 +703,29 @@ def make_resident_multi_step(cfg: TrainConfig, n_images: int, scan_steps: int):
                 lambda e: _bulk_augment_epoch(cfg, images, e0 + e, aug_stream),
                 jnp.arange(n_aug))
             augs = augs.reshape((n_aug * n_images,) + augs.shape[2:])
+        elif bulk:
+            # Table too big for HBM: draw only the window's per-image
+            # PARAMETER tables (n_aug x n_images scalars) and warp each
+            # gathered batch in the body — same draws as the table path.
+            from siggan_tpu.data.augment import augment_params
+            thetas, scales, flips = jax.vmap(
+                lambda e: augment_params(
+                    rnglib.at_step(aug_stream, e0 + e), n_images,
+                    hflip=cfg.hflip))(jnp.arange(n_aug))
 
         def body(s: TrainState, _):
             e_rel = jnp.minimum(s.step // steps_per_epoch - e0, n_epochs - 1)
             bidx = s.step % steps_per_epoch
             idx = jax.lax.dynamic_slice(
                 perms, (e_rel, bidx * cfg.batch_size), (1, cfg.batch_size))[0]
-            if bulk:
-                batch = jnp.take(
-                    augs, jnp.minimum(e_rel, n_aug - 1) * n_images + idx,
-                    axis=0)
+            ea = jnp.minimum(e_rel, n_aug - 1)
+            if bulk and table:
+                batch = jnp.take(augs, ea * n_images + idx, axis=0)
+            elif bulk:
+                batch = _warp_gathered(
+                    cfg, jnp.take(images, idx, axis=0),
+                    thetas[ea], scales[ea],
+                    None if flips is None else flips[ea], idx)
             else:
                 batch = jnp.take(images, idx, axis=0)
             if conditional:

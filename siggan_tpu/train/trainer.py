@@ -105,6 +105,14 @@ class GANTrainer:
                 k = max(1, min(spe, 64))
                 while spe % k:
                     k -= 1
+                if k < 16 and spe > k:
+                    # No useful divisor <= 64 (e.g. prime steps_per_epoch):
+                    # dispatch whole epochs instead. Scan length doesn't
+                    # affect compile time, an epoch is already the trainer's
+                    # observability granularity, and k=1 would reintroduce
+                    # the per-step host round-trip this path exists to
+                    # amortize.
+                    k = spe
                 self.scan_steps = k
             step_fn, self.steps_per_epoch = make_resident_multi_step(
                 cfg, n_global, self.scan_steps)

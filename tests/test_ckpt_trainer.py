@@ -109,14 +109,17 @@ def test_restore_across_ema_config_change(tmp_path):
         np.asarray(jax.tree_util.tree_leaves(st.g_ema["params"])[0]),
         np.asarray(jax.tree_util.tree_leaves(st.g_params)[0]))
 
-    # EMA checkpoint, restored under a default (ema off) config
+    # EMA checkpoint, restored under an ema_decay=0 config: no structure
+    # mismatch, and the shadow is DROPPED — resuming with EMA off would
+    # otherwise carry a frozen shadow that train steps never update but
+    # eval_generator_weights prefers forever (stale FID/best/samples).
     cfg_b = _cfg(tmp_path / "b", ema_decay=0.999)
     mgr_b = CheckpointManager(cfg_b.checkpoint_dir, cfg_b)
     mgr_b.save(create_train_state(cfg_b), epoch=0,
                fixed_noise=jnp.zeros((4, 8)), g_loss=1.0)
     cfg_b_off = _cfg(tmp_path / "b")
     st2, _ = CheckpointManager(cfg_b_off.checkpoint_dir, cfg_b_off).restore()
-    assert st2.g_ema is not None  # the saved shadow still restores
+    assert st2.g_ema is None  # frozen-shadow resume bug (round-3 review)
 
 
 def test_load_generator_and_arch_inference(tmp_path):
@@ -205,3 +208,16 @@ def test_trainer_fid_interval(tmp_path, monkeypatch):
     assert logged == [500.0, 100.0]
     idx = tr.ckpt.available()
     assert idx["best"] == 1 and idx["best_fid"] == 100.0
+
+
+def test_auto_scan_steps_prime_steps_per_epoch(tmp_path):
+    """Auto scan_steps must never collapse to per-step dispatch: with a
+    PRIME steps_per_epoch (no divisor <= 64) the trainer dispatches whole
+    epochs instead of k=1 (round-3 review finding — k=1 reintroduces the
+    per-step host round-trip the resident scan exists to amortize)."""
+    cfg = _cfg(tmp_path, batch_size=8)
+    tr = GANTrainer(cfg, _images(8 * 67), use_mesh=False)  # spe = 67, prime
+    assert tr.scan_steps == 67
+    # Divisible case keeps the <= 64 divisor behavior.
+    tr2 = GANTrainer(cfg, _images(8 * 64), use_mesh=False)
+    assert tr2.scan_steps == 64

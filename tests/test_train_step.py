@@ -231,16 +231,19 @@ def test_shared_fakes_step_equals_retrace():
 def test_bulk_augment_active_and_fallback():
     """Round-3 perf: resident steps hoist augmentation to epoch granularity
     (augment_bulk). The bulk path must actually augment (trajectory differs
-    from augment=False), and must fall back to in-step augmentation when the
-    window table exceeds resident_max_mb."""
-    from siggan_tpu.train.train_step import (_use_bulk_augment,
+    from augment=False), and when the window's augmented-image table
+    exceeds resident_max_mb the multi-step entry must fall back to the
+    param-table warp with IDENTICAL batches (same epoch-keyed draws), not
+    to a different augmentation cadence."""
+    from siggan_tpu.train.train_step import (_use_aug_table,
+                                             make_resident_multi_step,
                                              make_resident_train_step)
 
     cfg = _cfg()
     assert cfg.augment and cfg.augment_bulk
-    assert _use_bulk_augment(cfg, 64, 2)
+    assert _use_aug_table(cfg, 64, 2)
     tiny = cfg.replace(resident_max_mb=0)
-    assert not _use_bulk_augment(tiny, 64, 2)
+    assert not _use_aug_table(tiny, 64, 2)
 
     images = _fake_batch(32)
     outs = {}
@@ -249,6 +252,16 @@ def test_bulk_augment_active_and_fallback():
         s, m = jax.jit(step_fn)(create_train_state(c), images)
         outs[name] = float(m["d_loss"])
     assert outs["aug"] != outs["noaug"]
+
+    # Table path (default) == param-table fallback (resident_max_mb=0),
+    # step for step.
+    per_cfg = {}
+    for name, c in (("table", cfg), ("params", tiny)):
+        step_fn, _ = make_resident_multi_step(c, 32, 4)
+        s, m = jax.jit(step_fn)(create_train_state(c), images)
+        per_cfg[name] = np.asarray(m["d_loss"])
+    np.testing.assert_allclose(per_cfg["table"], per_cfg["params"],
+                               rtol=2e-5)
 
 
 @pytest.mark.slow  # exhaustive-equivalence; compile-heavy (fast-lane budget, VERDICT r2 #7)
