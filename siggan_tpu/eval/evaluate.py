@@ -34,7 +34,9 @@ def compute_metrics(real: np.ndarray, fake: np.ndarray, *,
     (skips per-call backbone re-init + re-jit); overrides the other FID
     backbone arguments."""
     from siggan_tpu.eval import lpips as lpips_mod
-    from siggan_tpu.eval.fid import FIDScorer, feature_diversity, make_scorer
+    from siggan_tpu.eval.fid import (FIDScorer, feature_diversity,
+                                     frechet_distance, kernel_distance,
+                                     make_scorer)
     from siggan_tpu.eval.stroke import (calculate_foreground_ratio,
                                         calculate_stroke_density)
 
@@ -45,7 +47,12 @@ def compute_metrics(real: np.ndarray, fake: np.ndarray, *,
             scorer = (FIDScorer(inception_params)
                       if inception_params is not None
                       else make_scorer(fid_backbone))
-        results["fid"] = scorer.fid(real, fake)
+        fr, ff = scorer._conditioned_features(real, fake)
+        results["fid"] = frechet_distance(fr, ff)
+        # KID (unbiased MMD^2, cubic kernel): FID's companion metric,
+        # unbiased at any sample count — see eval/fid.kernel_distance.
+        kid = kernel_distance(fr, ff)
+        results["kid_mean"], results["kid_std"] = kid["mean"], kid["std"]
         results["fid_backbone"] = scorer.backbone
         if scorer.backbone.startswith("verifier:"):
             half = len(real) // 2
@@ -115,6 +122,9 @@ def print_summary(results: Dict[str, Any]) -> None:
             print(f"FID: {results['fid']:.2f} "
                   f"[backbone: {results.get('fid_backbone')} — relative "
                   f"metric, compare against controls, not absolute bands]")
+    if "kid_mean" in results:
+        print(f"KID: {results['kid_mean']:.4g} ± {results['kid_std']:.2g} "
+              f"[same backbone/conditioning as FID; unbiased at small n]")
     if "lpips_diversity" in results:
         div = ("diverse" if results["lpips_diversity"] > 0.1 else
                "low diversity — possible mode collapse")

@@ -51,7 +51,17 @@ class FIDScorer:
         feats = np.asarray(jax.device_get(jnp.concatenate(outs, axis=0)))
         return feats[:n]
 
+    def kid(self, real: np.ndarray, fake: np.ndarray) -> Dict[str, float]:
+        """Kernel Inception Distance in this scorer's feature space (same
+        real-set standardization as ``fid`` on the random backbone)."""
+        fr, ff = self._conditioned_features(real, fake)
+        return kernel_distance(fr, ff)
+
     def fid(self, real: np.ndarray, fake: np.ndarray) -> float:
+        fr, ff = self._conditioned_features(real, fake)
+        return frechet_distance(fr, ff)
+
+    def _conditioned_features(self, real: np.ndarray, fake: np.ndarray):
         fr, ff = self.features(real), self.features(fake)
         if self.backbone == "random-init":
             # Standardize both sets by the REAL set's per-dim stats: a fixed
@@ -63,7 +73,7 @@ class FIDScorer:
             mu, sd = fr.mean(axis=0), fr.std(axis=0) + 1e-6
             fr = (fr - mu) / sd
             ff = (ff - mu) / sd
-        return frechet_distance(fr, ff)
+        return fr, ff
 
 
 def make_scorer(spec: str = "random-init", batch_size: int = 32) -> FIDScorer:
@@ -152,3 +162,33 @@ def frechet_distance(feat1: np.ndarray, feat2: np.ndarray) -> float:
     tr_mean = float(np.sum(linalg.svdvals(a @ b.T)))
     fid = float(diff @ diff) + tr1 + tr2 - 2.0 * tr_mean
     return max(fid, 0.0)
+
+
+def kernel_distance(feat1: np.ndarray, feat2: np.ndarray,
+                    n_subsets: int = 10, subset_size: Optional[int] = None,
+                    seed: int = 0) -> Dict[str, float]:
+    """Kernel Inception Distance (Binkowski et al. 2018): unbiased MMD^2
+    with the cubic polynomial kernel k(x, y) = (x.y/d + 1)^3, averaged over
+    random subsets. Unlike FID's Gaussian assumption, the estimator is
+    unbiased at ANY sample count — the right companion metric when n is
+    small relative to the feature dim (the regime every in-env eval here
+    runs in). Complements the reference's FID (utils/metrics.py:49-78).
+
+    Returns {"mean", "std"} over subsets (can be slightly negative for
+    identical/near-identical sets — that is the unbiasedness, not a bug).
+    """
+    f1 = np.asarray(feat1, np.float64)
+    f2 = np.asarray(feat2, np.float64)
+    d = f1.shape[1]
+    m = subset_size or min(len(f1), len(f2), 100)
+    rs = np.random.RandomState(seed)
+    vals = []
+    for _ in range(n_subsets):
+        x = f1[rs.choice(len(f1), m, replace=False)]
+        y = f2[rs.choice(len(f2), m, replace=False)]
+        kxx = (x @ x.T / d + 1.0) ** 3
+        kyy = (y @ y.T / d + 1.0) ** 3
+        kxy = (x @ y.T / d + 1.0) ** 3
+        sum_off = lambda k: (k.sum() - np.trace(k)) / (m * (m - 1))
+        vals.append(sum_off(kxx) + sum_off(kyy) - 2.0 * kxy.mean())
+    return {"mean": float(np.mean(vals)), "std": float(np.std(vals))}

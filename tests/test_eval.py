@@ -173,3 +173,35 @@ def test_unknown_backbone_spec_raises():
     from siggan_tpu.eval.fid import make_scorer
     with _pytest.raises(ValueError, match="unknown FID backbone"):
         make_scorer("bogus:thing")
+
+
+def test_kid_properties():
+    """KID (kernel_distance): ~0 for identical distributions (unbiased —
+    may be slightly negative), large for different ones, and ordered the
+    same way as FID. Pure feature-space test (no backbone needed)."""
+    from siggan_tpu.eval.fid import kernel_distance
+
+    rs = np.random.RandomState(0)
+    a = rs.randn(200, 32)
+    b = rs.randn(200, 32)             # same distribution
+    c = rs.randn(200, 32) * 3.0 + 2.0  # different distribution
+    kid_same = kernel_distance(a, b, n_subsets=5, subset_size=50)
+    kid_far = kernel_distance(a, c, n_subsets=5, subset_size=50)
+    assert abs(kid_same["mean"]) < 0.5
+    assert kid_far["mean"] > 10 * max(abs(kid_same["mean"]), 1e-3)
+    # identical SETS: unbiased estimator stays at ~0
+    kid_id = kernel_distance(a, a, n_subsets=3, subset_size=50)
+    assert abs(kid_id["mean"]) < 0.5
+
+
+def test_compute_metrics_reports_kid():
+    from siggan_tpu.eval.evaluate import compute_metrics
+    from siggan_tpu.eval.fid import FIDScorer
+
+    rs = np.random.RandomState(0)
+    real = (rs.rand(16, 64, 64, 1) * 2 - 1).astype(np.float32)
+    fake = (rs.rand(16, 64, 64, 1) * 2 - 1).astype(np.float32)
+    m = compute_metrics(real, fake, scorer=FIDScorer(batch_size=8),
+                        lpips_subset=4)
+    assert "kid_mean" in m and "kid_std" in m and "fid" in m
+    assert np.isfinite(m["kid_mean"])
