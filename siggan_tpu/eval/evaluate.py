@@ -36,7 +36,7 @@ def compute_metrics(real: np.ndarray, fake: np.ndarray, *,
     from siggan_tpu.eval import lpips as lpips_mod
     from siggan_tpu.eval.fid import (FIDScorer, feature_diversity,
                                      frechet_distance, kernel_distance,
-                                     make_scorer)
+                                     make_scorer, precision_recall)
     from siggan_tpu.eval.stroke import (calculate_foreground_ratio,
                                         calculate_stroke_density)
 
@@ -53,6 +53,11 @@ def compute_metrics(real: np.ndarray, fake: np.ndarray, *,
         # unbiased at any sample count — see eval/fid.kernel_distance.
         kid = kernel_distance(fr, ff)
         results["kid_mean"], results["kid_std"] = kid["mean"], kid["std"]
+        # Fidelity/coverage decomposition (k-NN manifolds, capped for the
+        # O(n^2) distance matrices): mode dropping shows as low recall
+        # even when precision and FID look healthy.
+        n_pr = min(len(fr), len(ff), 1024)
+        results.update(precision_recall(fr[:n_pr], ff[:n_pr]))
         results["fid_backbone"] = scorer.backbone
         if scorer.backbone.startswith("verifier:"):
             half = len(real) // 2
@@ -125,6 +130,10 @@ def print_summary(results: Dict[str, Any]) -> None:
     if "kid_mean" in results:
         print(f"KID: {results['kid_mean']:.4g} ± {results['kid_std']:.2g} "
               f"[same backbone/conditioning as FID; unbiased at small n]")
+    if "precision" in results:
+        print(f"precision/recall (k-NN manifold): "
+              f"{results['precision']:.3f} / {results['recall']:.3f} "
+              f"[fidelity / mode coverage]")
     if "lpips_diversity" in results:
         div = ("diverse" if results["lpips_diversity"] > 0.1 else
                "low diversity — possible mode collapse")

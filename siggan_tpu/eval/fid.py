@@ -192,3 +192,33 @@ def kernel_distance(feat1: np.ndarray, feat2: np.ndarray,
         sum_off = lambda k: (k.sum() - np.trace(k)) / (m * (m - 1))
         vals.append(sum_off(kxx) + sum_off(kyy) - 2.0 * kxy.mean())
     return {"mean": float(np.mean(vals)), "std": float(np.std(vals))}
+
+
+def precision_recall(real_feats: np.ndarray, fake_feats: np.ndarray,
+                     k: int = 3) -> Dict[str, float]:
+    """Improved precision & recall for distributions (Kynkaanniemi et al.
+    2019): k-NN-radius manifold estimates in feature space.
+
+    precision = fraction of FAKE samples inside the real manifold (fidelity);
+    recall    = fraction of REAL samples inside the fake manifold (coverage/
+    diversity). Decomposes a single FID number into the two failure modes a
+    GAN actually has — mode dropping shows up as low recall even when
+    precision (and FID) look fine. Identical sets give 1.0/1.0.
+    """
+    r = np.asarray(real_feats, np.float64)
+    f = np.asarray(fake_feats, np.float64)
+
+    def pairwise(a, b):
+        return np.sqrt(np.maximum(
+            (a * a).sum(1)[:, None] + (b * b).sum(1)[None] - 2 * a @ b.T, 0))
+
+    def knn_radius(a):
+        d = pairwise(a, a)
+        np.fill_diagonal(d, np.inf)
+        return np.sort(d, axis=1)[:, k - 1]          # distance to k-th NN
+
+    r_rad, f_rad = knn_radius(r), knn_radius(f)
+    d_fr = pairwise(f, r)                             # fake x real
+    precision = float((d_fr <= r_rad[None]).any(axis=1).mean())
+    recall = float((d_fr.T <= f_rad[None]).any(axis=1).mean())
+    return {"precision": precision, "recall": recall}

@@ -205,3 +205,28 @@ def test_compute_metrics_reports_kid():
                         lpips_subset=4)
     assert "kid_mean" in m and "kid_std" in m and "fid" in m
     assert np.isfinite(m["kid_mean"])
+
+
+def test_precision_recall_properties():
+    """k-NN manifold precision/recall: identical sets give 1/1; a fake set
+    covering only a MODE SUBSET of real keeps precision high but drops
+    recall (the decomposition that motivates the metric)."""
+    from siggan_tpu.eval.fid import precision_recall
+
+    rs = np.random.RandomState(0)
+    # two well-separated modes
+    mode_a = rs.randn(100, 16)
+    mode_b = rs.randn(100, 16) + 25.0
+    real = np.concatenate([mode_a, mode_b])
+    pr_id = precision_recall(real, real.copy())
+    assert pr_id["precision"] == 1.0 and pr_id["recall"] == 1.0
+    # fake = fresh samples from mode A only
+    fake_a = rs.randn(100, 16)
+    pr = precision_recall(real, fake_a)
+    assert pr["precision"] > 0.75, pr       # fidelity retained (k-NN radii
+    assert pr["recall"] < 0.6, pr           # are tight at n=100, 16-d);
+    assert pr["precision"] - pr["recall"] > 0.3  # mode B uncovered
+    # fake = far-off distribution: both collapse
+    far = rs.randn(100, 16) + 200.0
+    pr_far = precision_recall(real, far)
+    assert pr_far["precision"] < 0.1 and pr_far["recall"] < 0.1
