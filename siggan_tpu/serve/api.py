@@ -4,9 +4,11 @@ Parity with ``api_vanilla_gan_signatures.py`` (reference #16): same contract —
   GET  /health            -> {"status", "model_loaded", "device"}
   GET  /info              -> model/architecture/config info (503 if unloaded)
   POST /generate          -> {"n": 1..1000, "seed": optional, "noise_scale",
-                              "format": "zip" | "base64"}
+                              "format": "zip" | "base64",
+                              "class_id": optional (v2.0 conditional ckpts)}
                              ZIP stream or JSON of base64 PNGs (503 if unloaded)
-  POST /generate/single   -> single PNG body ({"seed", "noise_scale"})
+  POST /generate/single   -> single PNG body ({"seed", "noise_scale",
+                              "class_id": optional})
 Checkpoint comes from $GAN_CHECKPOINT_PATH or ./checkpoints; host/port from
 $API_HOST/$API_PORT. CORS is open like the reference (:395-401).
 
@@ -88,8 +90,25 @@ class ApiCore:
             "image_size": s.cfg.image_size,
             "image_channels": s.cfg.image_channels,
             "g_param_count": param_count(s.params),
+            "num_classes": getattr(s.cfg, "num_classes", 0),
             "max_batch": MAX_BATCH,
         }
+
+    def _class_id(self, body: Dict[str, Any]):
+        """Optional conditional class (v2.0 checkpoints): validated here so
+        misuse is a 422, not a 500."""
+        class_id = body.get("class_id")
+        if class_id is None:
+            return None
+        nc = getattr(self.state.session.cfg, "num_classes", 0)
+        if not isinstance(class_id, int) or isinstance(class_id, bool):
+            raise ApiError(422, "class_id must be an integer")
+        if nc == 0:
+            raise ApiError(422, "class_id given but the loaded checkpoint "
+                                "is unconditional (num_classes == 0)")
+        if not 0 <= class_id < nc:
+            raise ApiError(422, f"class_id must be in [0, {nc})")
+        return class_id
 
     def generate(self, body: Dict[str, Any]) -> Tuple[bytes, str]:
         """POST /generate -> (payload bytes, content_type)."""
@@ -100,9 +119,11 @@ class ApiCore:
         fmt = body.get("format", "zip")
         if fmt not in ("zip", "base64"):
             raise ApiError(422, f"format must be 'zip' or 'base64', got {fmt!r}")
+        class_id = self._class_id(body)
         with self.state.lock:
+            kw = {} if class_id is None else {"class_id": class_id}
             images = self.state.session.sample(
-                n, seed=seed, noise_scale=noise_scale)
+                n, seed=seed, noise_scale=noise_scale, **kw)
         from siggan_tpu.infer.export import png_bytes, zip_bytes
         if fmt == "zip":
             return zip_bytes(images), "application/zip"
@@ -117,9 +138,11 @@ class ApiCore:
         self._require_model()
         seed = self._int(body, "seed", default=42, lo=0, hi=2 ** 31 - 1)
         noise_scale = float(body.get("noise_scale", 1.0))
+        class_id = self._class_id(body)
         with self.state.lock:
+            kw = {} if class_id is None else {"class_id": class_id}
             images = self.state.session.sample(1, seed=seed,
-                                               noise_scale=noise_scale)
+                                               noise_scale=noise_scale, **kw)
         from siggan_tpu.infer.export import png_bytes
         return png_bytes(images[0]), "image/png"
 

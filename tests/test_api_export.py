@@ -119,3 +119,40 @@ def test_postprocess_binarize_and_transparency():
     assert rgba.shape[-1] == 4
     # white background -> alpha 0; ink -> alpha 255
     assert rgba[0, 0, 0, 3] == 0 and rgba[0, 0, 1, 3] == 255
+
+
+class FakeConditionalSession(FakeSession):
+    class cfg:
+        latent_dim = 8
+        image_size = 64
+        image_channels = 1
+        num_classes = 4
+
+    def sample(self, n, *, seed=42, noise_scale=1.0, batch_size=64,
+               progress=None, class_id=None):
+        self.last_class_id = class_id
+        return super().sample(n, seed=seed, noise_scale=noise_scale)
+
+
+def test_generate_class_id_unconditional_is_422(core):
+    with pytest.raises(ApiError) as e:
+        core.generate({"n": 1, "class_id": 0})
+    assert e.value.status == 422 and "unconditional" in e.value.message
+
+
+def test_generate_class_id_conditional_roundtrip():
+    c = ApiCore(ModelState())
+    c.state.session = FakeConditionalSession()
+    c.state.checkpoint_path = "/fake"
+    assert c.info()["num_classes"] == 4
+    payload, ctype = c.generate({"n": 2, "class_id": 3, "format": "base64"})
+    assert ctype == "application/json"
+    assert c.state.session.last_class_id == 3
+    # out of range / wrong type -> 422
+    for bad in (4, -1, "2", True):
+        with pytest.raises(ApiError) as e:
+            c.generate({"n": 1, "class_id": bad})
+        assert e.value.status == 422
+    # single-PNG path threads it too
+    c.generate_single({"class_id": 1})
+    assert c.state.session.last_class_id == 1
