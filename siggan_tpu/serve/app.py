@@ -119,17 +119,20 @@ class AppCore:
         noise_scale = float(body.get("noise_scale", 1.0))
         quality_filter = bool(body.get("quality_filter", False))
         keep_fraction = float(body.get("keep_fraction", 0.5))
+        ckw = _class_kw(body)  # conditional (v2.0) checkpoints
 
         session = self._session(rel, which)
         if quality_filter:
             # Oversample and keep the D-highest-scored (app…py:1362-1383).
             n_gen = min(int(n / max(keep_fraction, 0.05)), 512)
-            images = session.sample(n_gen, seed=seed, noise_scale=noise_scale)
+            images = session.sample(n_gen, seed=seed, noise_scale=noise_scale,
+                                    **ckw)
             scores = self._d_scores(rel, which, images)
             order = scores.argsort()[::-1][:n]
             images, scores = images[order], scores[order]
         else:
-            images = session.sample(n, seed=seed, noise_scale=noise_scale)
+            images = session.sample(n, seed=seed, noise_scale=noise_scale,
+                                    **ckw)
             scores = None
 
         out_dir = self.workdir / "samples" / f"gen_{time.strftime('%Y%m%d_%H%M%S')}"
@@ -178,6 +181,7 @@ class AppCore:
         quality_filter = bool(body.get("quality_filter", False))
         keep_fraction = float(body.get("keep_fraction", 0.5))
         post = _post_opts(body)
+        ckw = _class_kw(body)
 
         session = self._session(rel, which)  # load (and validate) up front
         job_id = f"gen_{time.strftime('%Y%m%d_%H%M%S')}_{len(self._gen_jobs)}"
@@ -207,7 +211,7 @@ class AppCore:
                     # batch# (app…py:1337-1338), resumable by construction.
                     imgs = session.sample(take, seed=seed + bidx,
                                           noise_scale=noise_scale,
-                                          batch_size=take)
+                                          batch_size=take, **ckw)
                     if quality_filter:
                         d_params, d_state, mcfg = self._discriminator(rel, which)
                         all_scores += [float(s) for s in
@@ -478,6 +482,16 @@ class AppCore:
 def _b64_png(img) -> str:
     from siggan_tpu.infer.export import png_bytes
     return base64.b64encode(png_bytes(img)).decode()
+
+
+def _class_kw(body: Dict[str, Any]) -> Dict[str, Any]:
+    """Optional conditional class for v2.0 checkpoints: {} when absent so
+    unconditional sessions never see the kwarg; range/type validation lives
+    in GeneratorSession.sample (surfaces as the request's error message)."""
+    cid = body.get("class_id")
+    if cid in (None, ""):
+        return {}
+    return {"class_id": int(cid)}
 
 
 def _post_opts(body: Dict[str, Any]) -> Optional[Dict[str, Any]]:

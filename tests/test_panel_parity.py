@@ -224,3 +224,33 @@ def test_http_surface_end_to_end(tmp_path):
             assert e.code == 422
     finally:
         server.shutdown()
+
+
+def test_generate_conditional_class_id(tmp_path):
+    """Panel generate threads class_id into conditional sessions; blank /
+    absent means unconditional; bad class on an unconditional checkpoint
+    surfaces as the job error, not a crash."""
+    from siggan_tpu.ckpt.manager import CheckpointManager
+
+    cfg = TrainConfig(
+        model=ModelConfig(latent_dim=8, image_size=64, base_features=16,
+                          num_classes=3),
+        batch_size=8, compute_dtype="float32", seed=0,
+        checkpoint_dir=str(tmp_path / "checkpoints"))
+    mgr = CheckpointManager(cfg.checkpoint_dir, cfg)
+    mgr.save(create_train_state(cfg), epoch=0,
+             fixed_noise=jnp.zeros((4, 8)), g_loss=1.0)
+    core = AppCore(tmp_path)
+    r = core.generate({"checkpoint": "checkpoints", "n": 2, "class_id": 2})
+    assert r["count"] == 2
+    # per-class outputs differ (conditioning reaches the generator)
+    r0 = core.generate({"checkpoint": "checkpoints", "n": 2, "seed": 7,
+                        "class_id": 0})
+    r1 = core.generate({"checkpoint": "checkpoints", "n": 2, "seed": 7,
+                        "class_id": 1})
+    assert r0["thumbnails"] != r1["thumbnails"]
+    # blank string = unconditional request on a conditional ckpt -> the
+    # session itself decides (conditional models require a class; error
+    # message, not crash)
+    with pytest.raises(ValueError):
+        core.generate({"checkpoint": "checkpoints", "n": 1, "class_id": 99})
