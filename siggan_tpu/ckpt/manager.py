@@ -121,9 +121,13 @@ class CheckpointManager:
                   "(align fid_interval with checkpoint_interval)", flush=True)
         else:
             is_best = g_loss is not None and (best is None or g_loss < best)
+        # Running minimum across saves — independent of which criterion
+        # selects the 'best' alias (float(None) crash / wrong stamp when
+        # the FID criterion marks best without a g_loss: round-3 review).
+        g_cands = [x for x in (best, g_loss) if x is not None]
         tree = _to_save_tree(
             state, epoch=epoch, fixed_noise=fixed_noise,
-            best_g_loss=float(g_loss if is_best else (best if best is not None else np.inf)))
+            best_g_loss=float(min(g_cands)) if g_cands else float(np.inf))
         path = self._epoch_dir(epoch)
         # Multi-process: the train state is replicated, so every process can
         # device_get it. Orbax's Checkpointer.save performs its OWN

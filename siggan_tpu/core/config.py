@@ -270,9 +270,13 @@ class TrainConfig:
     prefetch: int = 2
     resident_data: bool = True
     resident_max_mb: int = 4096
-    # Device-side training loop: steps per dispatch (lax.scan). 0 = auto
-    # (min(steps_per_epoch, 32)); 1 = one dispatch per step (reference-like
-    # per-batch host control, finest stop-file granularity).
+    # Device-side training loop: steps per dispatch (lax.scan). 0 = auto —
+    # the largest divisor of steps_per_epoch <= 64, or whole-epoch dispatch
+    # when no useful divisor exists (prime steps_per_epoch). 1 = one
+    # dispatch per step (reference-like per-batch host control, finest
+    # stop-file granularity). Explicit values must divide steps_per_epoch
+    # (the trainer validates; the bench calls make_resident_multi_step
+    # directly for multi-epoch windows).
     scan_steps: int = 0
 
     # Observability: when set, the trainer captures a jax.profiler trace of
@@ -288,12 +292,18 @@ class TrainConfig:
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "TrainConfig":
+        # Unknown keys are dropped at EVERY level (not just the top), so a
+        # sidecar config.json written by a build with extra/renamed fields
+        # still loads — checkpoints must outlive field churn.
+        def known_only(dc_cls, sub: Dict[str, Any]) -> Dict[str, Any]:
+            names = {f.name for f in dataclasses.fields(dc_cls)}
+            return {k: v for k, v in sub.items() if k in names}
+
         d = dict(d)
-        model = ModelConfig(**d.pop("model", {}))
-        optim = OptimConfig(**d.pop("optim", {}))
-        mesh = MeshConfig(**d.pop("mesh", {}))
-        known = {f.name for f in dataclasses.fields(cls)}
-        d = {k: v for k, v in d.items() if k in known}
+        model = ModelConfig(**known_only(ModelConfig, d.pop("model", {})))
+        optim = OptimConfig(**known_only(OptimConfig, d.pop("optim", {})))
+        mesh = MeshConfig(**known_only(MeshConfig, d.pop("mesh", {})))
+        d = known_only(cls, d)
         return cls(model=model, optim=optim, mesh=mesh, **d)
 
     @classmethod

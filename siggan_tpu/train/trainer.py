@@ -70,6 +70,14 @@ class GANTrainer:
 
         data_mb = images.nbytes / 2 ** 20
         self.resident = cfg.resident_data and data_mb <= cfg.resident_max_mb
+        if self.conditional and not self.resident:
+            # The streaming loader has no label plumbing; falling through
+            # would silently train label-less (or crash on unpack).
+            raise ValueError(
+                f"conditional training requires the resident data path, but "
+                f"the dataset ({data_mb:.0f} MB) exceeds resident_max_mb "
+                f"({cfg.resident_max_mb}) — raise resident_max_mb or shrink "
+                f"the dataset")
         batch_sharding = (NamedSharding(self.mesh, P(cfg.mesh.data_axis))
                           if self.mesh is not None else None)
         if self.resident:
@@ -96,6 +104,15 @@ class GANTrainer:
                                    else None)
             spe = n_global // cfg.batch_size
             if cfg.scan_steps:
+                if spe % cfg.scan_steps:
+                    # The epoch loop dispatches whole scan windows and
+                    # accounts steps_per_epoch; a non-divisor K would train
+                    # ceil(spe/K)*K steps per labeled epoch (silent
+                    # over-training + desynced epoch keys/metrics).
+                    raise ValueError(
+                        f"scan_steps ({cfg.scan_steps}) must divide "
+                        f"steps_per_epoch ({spe}) — or leave scan_steps=0 "
+                        f"for a valid automatic choice")
                 self.scan_steps = cfg.scan_steps
             else:
                 # Auto: largest DIVISOR of steps_per_epoch <= 64, so every
@@ -143,7 +160,6 @@ class GANTrainer:
             rnglib.stream(rnglib.root_key(cfg.seed), rnglib.STREAM_FIXED),
             (cfg.fixed_noise_samples, cfg.model.latent_dim), jnp.float32)
         self.start_epoch = 0
-        self.best_g_loss = float("inf")
 
         # Quality-tracked best (cfg.fid_interval > 0): fixed real subset +
         # fixed eval noise so per-epoch FIDs are comparable; the scorer
@@ -215,7 +231,6 @@ class GANTrainer:
                       if self.mesh is not None else state)
         self.fixed_noise = extras["fixed_noise"]
         self.start_epoch = extras["epoch"] + 1
-        self.best_g_loss = extras["best_g_loss"]
         print(f"Resumed from epoch {extras['epoch']} "
               f"(step {int(state.step)})", flush=True)
         return True
@@ -237,6 +252,10 @@ class GANTrainer:
                     print("Stop file detected — stopping before epoch "
                           f"{epoch}", flush=True)
                     stopped = True
+                    # Nothing trained this epoch: label the final
+                    # checkpoint with the last COMPLETED epoch (a label of
+                    # `epoch` would make resume skip it entirely).
+                    epoch -= 1
                     break
                 # Fully async epoch: steps are dispatched without any host
                 # sync (a blocking round trip costs ~50 ms on tunneled TPUs);
@@ -310,16 +329,16 @@ class GANTrainer:
                         epoch + 1) % cfg.sample_interval == 0:
                     self._sample_grid(epoch + 1)
                 g_avg = avgs.get("g_loss", float("inf"))
-                if g_avg < self.best_g_loss:
-                    self.best_g_loss = g_avg
                 if (epoch + 1) % cfg.checkpoint_interval == 0 or stopped:
                     self._save_checkpoint(epoch, g_avg)
                 if stopped:
                     break
             else:
                 epoch = epochs - 1
-            # Final checkpoint + grid regardless of interval alignment.
-            if epochs > self.start_epoch:
+            # Final checkpoint + grid regardless of interval alignment
+            # (skipped when no epoch completed or progressed — a fresh run
+            # stopped before epoch 0 must NOT save an epoch-0 checkpoint).
+            if epoch >= self.start_epoch:
                 self._save_checkpoint(epoch, self.logger.metrics[-1].get(
                     "g_loss", float("inf")) if self.logger.metrics else float("inf"))
                 self._sample_grid(epoch + 1)

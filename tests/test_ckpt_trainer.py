@@ -221,3 +221,58 @@ def test_auto_scan_steps_prime_steps_per_epoch(tmp_path):
     # Divisible case keeps the <= 64 divisor behavior.
     tr2 = GANTrainer(cfg, _images(8 * 64), use_mesh=False)
     assert tr2.scan_steps == 64
+
+
+def test_save_fid_without_g_loss(tmp_path):
+    """FID-criterion saves need no g_loss (round-3 review: float(None))."""
+    cfg = _cfg(tmp_path)
+    mgr = CheckpointManager(cfg.checkpoint_dir, cfg)
+    st = create_train_state(cfg)
+    mgr.save(st, epoch=0, fixed_noise=jnp.zeros((4, 8)), fid=12.3)
+    mgr.save(st, epoch=1, fixed_noise=jnp.zeros((4, 8)), fid=10.0)
+    idx = mgr.available()
+    assert idx["best"] == 1 and idx["best_fid"] == 10.0
+    _, extras = mgr.restore("best")
+    assert np.isinf(extras["best_g_loss"])  # running min, never None
+
+
+def test_from_dict_drops_unknown_nested_keys(tmp_path):
+    """Sidecars from builds with extra/renamed nested fields must load
+    (checkpoints outlive field churn at every level, not just the top)."""
+    d = _cfg(tmp_path).to_dict()
+    d["model"]["retired_knob"] = 7
+    d["optim"]["old_thing"] = "x"
+    d["mesh"]["gone"] = 1
+    d["top_level_unknown"] = True
+    cfg = TrainConfig.from_dict(d)
+    assert cfg.model.latent_dim == 8
+
+
+def test_conditional_requires_effective_resident(tmp_path):
+    """Conditional + dataset over resident_max_mb must raise, not silently
+    drop labels into the streaming loader (round-3 review)."""
+    cfg = _cfg(tmp_path, resident_max_mb=0,
+               model=ModelConfig(latent_dim=8, image_size=64,
+                                 base_features=16, num_classes=2))
+    with pytest.raises(ValueError, match="resident"):
+        GANTrainer(cfg, _images(16), use_mesh=False,
+                   labels=np.zeros(16, np.int32))
+
+
+def test_explicit_scan_steps_must_divide_epoch(tmp_path):
+    """Explicit non-divisor scan_steps would over-train ceil(spe/K)*K steps
+    per labeled epoch — rejected at construction (round-3 review)."""
+    cfg = _cfg(tmp_path, scan_steps=48, batch_size=8)
+    with pytest.raises(ValueError, match="must divide"):
+        GANTrainer(cfg, _images(8 * 64), use_mesh=False)  # spe=64, 64%48!=0
+
+
+def test_stop_before_epoch_does_not_mint_untrained_checkpoint(tmp_path):
+    """Stop-file present from the start: no checkpoint may be written (the
+    old code saved one labeled epoch 0 with zero training, and a stop at
+    epoch N saved label N making resume SKIP epoch N — round-3 review)."""
+    stop = tmp_path / "STOP"; stop.write_text("")
+    cfg = _cfg(tmp_path)
+    tr = GANTrainer(cfg, _images(), stop_file=str(stop), use_mesh=False)
+    tr.train(epochs=3)
+    assert tr.ckpt.available().get("latest") is None
