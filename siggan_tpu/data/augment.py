@@ -256,8 +256,12 @@ def augment_batch_inner(
                          scale_lo=scale_lo, scale_hi=scale_hi, dtype=dtype)
 
 
+# rotation/scale bounds flow into Python-level band-radius math
+# (_band_radii uses math.cos/ceil), so ALL of them must be static — a traced
+# scale_lo/scale_hi raised ConcretizationTypeError (round-3 review).
 augment_batch = partial(jax.jit, static_argnames=(
-    "rotation_degrees", "hflip", "enabled", "dtype"))(augment_batch_inner)
+    "rotation_degrees", "scale_lo", "scale_hi", "hflip", "enabled",
+    "dtype"))(augment_batch_inner)
 
 
 def augment_key(seed: int, step: int) -> jax.Array:

@@ -27,12 +27,16 @@ class BatchLoader:
                  shuffle: bool = True, drop_last: bool = True, seed: int = 0,
                  mesh: Optional[Mesh] = None, data_axis: str = "data",
                  prefetch: int = 2):
-        if drop_last and len(images) < batch_size:
-            raise ValueError(
-                f"dataset ({len(images)}) smaller than batch ({batch_size})")
         self.images = images
         self.batch_size = batch_size
         self.shuffle = shuffle
+        if not drop_last and mesh is not None:
+            # A partial final batch cannot shard over the data axis (its
+            # leading dim isn't divisible by the device count) — placement
+            # would fail mid-epoch, after prefetched batches already
+            # yielded. Sharded loading always drops the remainder, the same
+            # semantics the resident path uses.
+            drop_last = True
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = max(1, prefetch)
@@ -52,6 +56,13 @@ class BatchLoader:
                     f"global batch {batch_size} not divisible by "
                     f"{self.n_proc} processes")
         self.local_bs = batch_size // self.n_proc
+        # Size guard against the PER-PROCESS batch: each host only needs
+        # local_bs rows per step (a global-batch comparison wrongly rejected
+        # valid multi-host configs — round-3 review).
+        if drop_last and len(images) < self.local_bs:
+            raise ValueError(
+                f"dataset shard ({len(images)}) smaller than the "
+                f"per-process batch ({self.local_bs})")
 
     def __len__(self) -> int:
         n = len(self.images) // self.local_bs

@@ -114,8 +114,13 @@ class GeneratorSession:
 
     def interpolate(self, *, seed: int = 0, steps: int = 10,
                     z1: Optional[np.ndarray] = None,
-                    z2: Optional[np.ndarray] = None) -> np.ndarray:
-        """Linear interpolation between two latents -> (steps, H, W, C)."""
+                    z2: Optional[np.ndarray] = None,
+                    class_id: Optional[int] = None) -> np.ndarray:
+        """Linear interpolation between two latents -> (steps, H, W, C).
+
+        Conditional checkpoints morph within ONE writer's style: the whole
+        strip uses ``class_id`` (default 0) — interpolating z with a fixed
+        class is the meaningful latent walk for a class-conditional G."""
         if z1 is None or z2 is None:
             k = rnglib.stream(rnglib.root_key(seed), rnglib.STREAM_EVAL)
             k1, k2 = jax.random.split(k)
@@ -123,14 +128,34 @@ class GeneratorSession:
             z2 = generator.generate_latent(k2, 1, self.cfg)[0]
         alphas = jnp.linspace(0.0, 1.0, steps)[:, None]
         zs = (1 - alphas) * jnp.asarray(z1)[None] + alphas * jnp.asarray(z2)[None]
+        if self.cfg.num_classes > 0:
+            cid = 0 if class_id is None else class_id
+            if not 0 <= cid < self.cfg.num_classes:
+                raise ValueError(f"class_id {cid} out of range for "
+                                 f"num_classes={self.cfg.num_classes}")
+            y = jnp.full((steps,), cid, jnp.int32)
+            return np.asarray(jax.device_get(self._fwd(zs, y)))
+        if class_id is not None:
+            raise ValueError("class_id given but this checkpoint is "
+                             "unconditional (num_classes == 0)")
         return np.asarray(jax.device_get(self._fwd(zs)))
 
     def score_with_discriminator(self, images: np.ndarray, d_params, d_state,
-                                 model_cfg: ModelConfig) -> np.ndarray:
-        """D(x) probabilities for quality filtering (app…py:1362-1383)."""
+                                 model_cfg: ModelConfig,
+                                 y: Optional[np.ndarray] = None) -> np.ndarray:
+        """D(x) probabilities for quality filtering (app…py:1362-1383).
+
+        Conditional checkpoints (projection D) need the labels the images
+        were generated with — callers must pass ``y``."""
         from siggan_tpu.models import discriminator
+        if model_cfg.num_classes > 0 and y is None:
+            raise ValueError(
+                "conditional discriminator scoring requires labels y — "
+                "generate with an explicit class_id to use the quality "
+                "filter on a conditional checkpoint")
         logits, _ = discriminator.apply_fn(
-            d_params, d_state, jnp.asarray(images), model_cfg, train=False)
+            d_params, d_state, jnp.asarray(images), model_cfg, train=False,
+            y=None if y is None else jnp.asarray(y, jnp.int32))
         return np.asarray(jax.device_get(jax.nn.sigmoid(logits)))[:, 0]
 
 

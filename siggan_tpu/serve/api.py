@@ -115,7 +115,8 @@ class ApiCore:
         self._require_model()
         n = self._int(body, "n", default=1, lo=1, hi=MAX_BATCH)
         seed = self._int(body, "seed", default=42, lo=0, hi=2 ** 31 - 1)
-        noise_scale = float(body.get("noise_scale", 1.0))
+        noise_scale = self._float(body, "noise_scale", default=1.0,
+                                  lo=0.0, hi=10.0)
         fmt = body.get("format", "zip")
         if fmt not in ("zip", "base64"):
             raise ApiError(422, f"format must be 'zip' or 'base64', got {fmt!r}")
@@ -137,7 +138,8 @@ class ApiCore:
     def generate_single(self, body: Dict[str, Any]) -> Tuple[bytes, str]:
         self._require_model()
         seed = self._int(body, "seed", default=42, lo=0, hi=2 ** 31 - 1)
-        noise_scale = float(body.get("noise_scale", 1.0))
+        noise_scale = self._float(body, "noise_scale", default=1.0,
+                                  lo=0.0, hi=10.0)
         class_id = self._class_id(body)
         with self.state.lock:
             kw = {} if class_id is None else {"class_id": class_id}
@@ -152,6 +154,21 @@ class ApiCore:
             raise ApiError(503, "model not loaded"
                            + (f" ({self.state.load_error})"
                               if self.state.load_error else ""))
+
+    @staticmethod
+    def _float(body: Dict, key: str, default: float, lo: float,
+               hi: float) -> float:
+        """422 (not 500) on non-numeric/NaN/out-of-range — the same
+        pydantic-mirror contract _int provides."""
+        v = body.get(key, default)
+        try:
+            v = float(v)
+        except (TypeError, ValueError):
+            raise ApiError(422, f"{key} must be a number")
+        import math
+        if not math.isfinite(v) or not lo <= v <= hi:
+            raise ApiError(422, f"{key} must be in [{lo}, {hi}]")
+        return v
 
     @staticmethod
     def _int(body: Dict, key: str, default: int, lo: int, hi: int) -> int:

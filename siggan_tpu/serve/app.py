@@ -27,6 +27,7 @@ from __future__ import annotations
 import base64
 import io
 import json
+import math
 import subprocess
 import sys
 import threading
@@ -118,16 +119,16 @@ class AppCore:
         seed = int(body.get("seed", 42))
         noise_scale = float(body.get("noise_scale", 1.0))
         quality_filter = bool(body.get("quality_filter", False))
-        keep_fraction = float(body.get("keep_fraction", 0.5))
+        keep_fraction = _keep_fraction(body)
         ckw = _class_kw(body)  # conditional (v2.0) checkpoints
 
         session = self._session(rel, which)
         if quality_filter:
             # Oversample and keep the D-highest-scored (app…py:1362-1383).
-            n_gen = min(int(n / max(keep_fraction, 0.05)), 512)
+            n_gen = min(int(n / keep_fraction), 512)
             images = session.sample(n_gen, seed=seed, noise_scale=noise_scale,
                                     **ckw)
-            scores = self._d_scores(rel, which, images)
+            scores = self._d_scores(rel, which, images, _score_labels(ckw, len(images)))
             order = scores.argsort()[::-1][:n]
             images, scores = images[order], scores[order]
         else:
@@ -150,19 +151,20 @@ class AppCore:
             "scores": [float(s) for s in scores] if scores is not None else None,
         }
 
-    def _d_scores(self, rel: str, which, images):
+    def _d_scores(self, rel: str, which, images, y=None):
         # The discriminator is cached per (checkpoint, which) exactly like
         # generator sessions — restoring the full Orbax checkpoint per scored
         # click costs seconds of redundant IO.
         d_params, d_state, model_cfg = self._discriminator(rel, which)
         session = self._session(rel, which)
         return session.score_with_discriminator(
-            images, d_params, d_state, model_cfg)
+            images, d_params, d_state, model_cfg, y=y)
 
     def interpolate(self, body: Dict[str, Any]) -> Dict[str, Any]:
         session = self._session(body["checkpoint"], body.get("which", "latest"))
         frames = session.interpolate(seed=int(body.get("seed", 0)),
-                                     steps=max(2, min(int(body.get("steps", 10)), 32)))
+                                     steps=max(2, min(int(body.get("steps", 10)), 32)),
+                                     **_class_kw(body))
         return {"frames": [_b64_png(f) for f in frames]}
 
     # -- resumable / cancelable generation job (app…py:1124-1389) -----------
@@ -179,12 +181,17 @@ class AppCore:
         seed = int(body.get("seed", 42))
         noise_scale = float(body.get("noise_scale", 1.0))
         quality_filter = bool(body.get("quality_filter", False))
-        keep_fraction = float(body.get("keep_fraction", 0.5))
+        keep_fraction = _keep_fraction(body)
         post = _post_opts(body)
         ckw = _class_kw(body)
 
         session = self._session(rel, which)  # load (and validate) up front
-        job_id = f"gen_{time.strftime('%Y%m%d_%H%M%S')}_{len(self._gen_jobs)}"
+        # Unique under concurrent requests: second-resolution timestamps
+        # collide, so the tiebreaker is a locked monotonic counter.
+        with self._lock:
+            self._gen_seq = getattr(self, "_gen_seq", 0) + 1
+            job_id = (f"gen_{time.strftime('%Y%m%d_%H%M%S')}"
+                      f"_{self._gen_seq}")
         out_dir = self.workdir / "samples" / job_id
         n_target = (min(int(n / max(keep_fraction, 0.05)), 1024)
                     if quality_filter else n)
@@ -216,7 +223,8 @@ class AppCore:
                         d_params, d_state, mcfg = self._discriminator(rel, which)
                         all_scores += [float(s) for s in
                                        session.score_with_discriminator(
-                                           imgs, d_params, d_state, mcfg)]
+                                           imgs, d_params, d_state, mcfg,
+                                           y=_score_labels(ckw, len(imgs)))]
                     u8 = _apply_post(to_uint8(imgs), post)
                     save_pngs(u8, out_dir, start_index=job["done"],
                               denormalize=False)
@@ -482,6 +490,29 @@ class AppCore:
 def _b64_png(img) -> str:
     from siggan_tpu.infer.export import png_bytes
     return base64.b64encode(png_bytes(img)).decode()
+
+
+def _keep_fraction(body: Dict[str, Any]) -> float:
+    """Clamped to [0.05, 1] (the UI clamps too, but the API must not trust
+    it: >1 silently under-delivered, NaN crashed the arithmetic)."""
+    try:
+        kf = float(body.get("keep_fraction", 0.5))
+    except (TypeError, ValueError):
+        return 0.5
+    if not math.isfinite(kf):
+        return 0.5
+    return min(max(kf, 0.05), 1.0)
+
+
+def _score_labels(ckw: Dict[str, Any], n: int):
+    """Labels for D-scoring a quality-filter batch: the class the batch was
+    generated with, or None for unconditional requests (conditional
+    checkpoints without class_id fail in score_with_discriminator with a
+    clear message)."""
+    if "class_id" in ckw:
+        import numpy as _np
+        return _np.full(n, ckw["class_id"], _np.int32)
+    return None
 
 
 def _class_kw(body: Dict[str, Any]) -> Dict[str, Any]:

@@ -184,8 +184,13 @@ def run_status(workdir: str | Path = ".") -> Dict[str, Any]:
         return {"running": False, "state": None}
     run_dir = Path(state["run_dir"])
     metrics = discover_metrics(run_dir)
-    d = [m.get("d_loss") for m in metrics if m.get("d_loss") is not None]
-    g = [m.get("g_loss") for m in metrics if m.get("g_loss") is not None]
+    # Keep only real numbers: a CSV read mid-rewrite (the logger rewrites
+    # the whole file each save) or a DictWriter-restval row yields '' which
+    # math.isnan() would TypeError on inside check_loss_health.
+    d = [v for m in metrics if isinstance(
+        (v := m.get("d_loss")), (int, float))]
+    g = [v for m in metrics if isinstance(
+        (v := m.get("g_loss")), (int, float))]
     samples = sorted((run_dir / "samples").glob("*.png"))
     return {
         "running": state["alive"],

@@ -156,3 +156,10 @@ def test_generate_class_id_conditional_roundtrip():
     # single-PNG path threads it too
     c.generate_single({"class_id": 1})
     assert c.state.session.last_class_id == 1
+
+
+def test_noise_scale_validation_is_422(core):
+    for bad in ("abc", float("nan"), -1.0, 100.0):
+        with pytest.raises(ApiError) as e:
+            core.generate({"n": 1, "noise_scale": bad})
+        assert e.value.status == 422, bad
