@@ -90,11 +90,15 @@ def main(argv=None) -> int:
         import numpy as np
         agg = {}
         for key in ("fid", "lpips_diversity"):
-            vals = [r[key] for r in per_seed if key in r]
-            if vals:
+            # Pair each value with ITS seed — filtering values but zipping
+            # against all seeds misattributed results whenever one seed's
+            # metric errored (round-3 review).
+            pairs = [(r["seed"], r[key]) for r in per_seed if key in r]
+            if pairs:
+                vals = [v for _, v in pairs]
                 agg[key] = {"mean": float(np.mean(vals)),
                             "std": float(np.std(vals)),
-                            "per_seed": dict(zip(map(str, seeds), vals))}
+                            "per_seed": {str(s): v for s, v in pairs}}
         results = dict(per_seed[0])
         results["multi_seed"] = agg
         print("Multi-seed:", {k: f"{v['mean']:.3f}±{v['std']:.3f}"

@@ -51,13 +51,16 @@ def compute_metrics(real: np.ndarray, fake: np.ndarray, *,
         results["fid"] = frechet_distance(fr, ff)
         # KID (unbiased MMD^2, cubic kernel): FID's companion metric,
         # unbiased at any sample count — see eval/fid.kernel_distance.
-        kid = kernel_distance(fr, ff)
-        results["kid_mean"], results["kid_std"] = kid["mean"], kid["std"]
-        # Fidelity/coverage decomposition (k-NN manifolds, capped for the
-        # O(n^2) distance matrices): mode dropping shows as low recall
-        # even when precision and FID look healthy.
-        n_pr = min(len(fr), len(ff), 1024)
-        results.update(precision_recall(fr[:n_pr], ff[:n_pr]))
+        n_min = min(len(fr), len(ff))
+        if n_min >= 2:
+            kid = kernel_distance(fr, ff)
+            results["kid_mean"], results["kid_std"] = kid["mean"], kid["std"]
+        if n_min >= 4:     # k-NN manifolds need > k (=3) samples per set
+            # Fidelity/coverage decomposition (capped for the O(n^2)
+            # distance matrices): mode dropping shows as low recall even
+            # when precision and FID look healthy.
+            n_pr = min(n_min, 1024)
+            results.update(precision_recall(fr[:n_pr], ff[:n_pr]))
         results["fid_backbone"] = scorer.backbone
         if scorer.backbone.startswith("verifier:"):
             half = len(real) // 2

@@ -37,19 +37,11 @@ class FIDScorer:
         self.batch_size = batch_size
 
     def features(self, images: np.ndarray) -> np.ndarray:
-        """(N, H, W, 1|3) in [-1, 1] -> (N, 2048)."""
-        imgs = jnp.asarray(images, jnp.float32)
-        outs = []
-        n = imgs.shape[0]
-        b = self.batch_size
-        pad = (-n) % b
-        if pad:
-            imgs = jnp.concatenate([imgs, jnp.zeros((pad,) + imgs.shape[1:])],
-                                   axis=0)
-        for s in range(0, imgs.shape[0], b):
-            outs.append(self._extract(imgs[s:s + b]))
-        feats = np.asarray(jax.device_get(jnp.concatenate(outs, axis=0)))
-        return feats[:n]
+        """(N, H, W, 1|3) in [-1, 1] -> (N, D)."""
+        from siggan_tpu.eval.common import batched_apply
+        return batched_apply(self._extract,
+                             np.asarray(images, np.float32),
+                             batch_size=self.batch_size)
 
     def kid(self, real: np.ndarray, fake: np.ndarray) -> Dict[str, float]:
         """Kernel Inception Distance in this scorer's feature space (same
@@ -179,8 +171,13 @@ def kernel_distance(feat1: np.ndarray, feat2: np.ndarray,
     """
     f1 = np.asarray(feat1, np.float64)
     f2 = np.asarray(feat2, np.float64)
+    if min(len(f1), len(f2)) < 2:
+        # The unbiased estimator divides by m*(m-1); a single sample has
+        # no within-set term at all.
+        raise ValueError("kernel_distance requires >= 2 samples per set")
     d = f1.shape[1]
-    m = subset_size or min(len(f1), len(f2), 100)
+    m = (min(subset_size, len(f1), len(f2)) if subset_size
+         else min(len(f1), len(f2), 100))
     rs = np.random.RandomState(seed)
     vals = []
     for _ in range(n_subsets):

@@ -54,9 +54,7 @@ def init_params(seed: int = 0) -> Dict:
     return params
 
 
-def _maxpool3s2(x):
-    return lax.reduce_window(x, -jnp.inf, lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
-                             "VALID")
+from siggan_tpu.eval.inception import _maxpool3s2  # shared 3x3/s2 pool
 
 
 def _features(params: Dict, x: jax.Array) -> List[jax.Array]:
@@ -102,14 +100,12 @@ def diversity(params: Dict, images: np.ndarray, window: int = 10,
         for j in range(i + 1, min(i + window, n)):
             idx1.append(i)
             idx2.append(j)
-    imgs = _to_rgb(jnp.asarray(images))
+    from siggan_tpu.eval.common import batched_apply
+    imgs = np.asarray(_to_rgb(jnp.asarray(images)))
     fn = jax.jit(lambda a, b: distance(params, a, b))
-    out = []
-    for s in range(0, len(idx1), batch_pairs):
-        a = imgs[np.asarray(idx1[s:s + batch_pairs])]
-        b = imgs[np.asarray(idx2[s:s + batch_pairs])]
-        out.append(np.asarray(jax.device_get(fn(a, b))))
-    return float(np.mean(np.concatenate(out)))
+    dists = batched_apply(fn, imgs[np.asarray(idx1)], imgs[np.asarray(idx2)],
+                          batch_size=batch_pairs)
+    return float(np.mean(dists))
 
 
 def convert_torch_state_dict(alex_sd: Dict, lin_sd: Dict) -> Dict:

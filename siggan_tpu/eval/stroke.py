@@ -17,8 +17,15 @@ import numpy as np
 
 @jax.jit
 def _dark_fractions(images: jax.Array, threshold: float = 0.5) -> jax.Array:
+    """Every in-package producer (generator output, resident datasets,
+    augmentation) works in [-1, 1], so the remap is unconditional. A
+    batch-global ``min() < 0`` heuristic mis-scaled all-bright batches —
+    exactly the blank/collapsed fakes the metric exists to expose (a
+    near-white [-1,1] batch has every pixel >= 0 and was scored on the
+    wrong scale). Callers holding [0,1] data map it themselves.
+    """
     x = images.astype(jnp.float32)
-    x = jnp.where(jnp.min(x) < 0, (x + 1.0) / 2.0, x)   # [-1,1] -> [0,1]
+    x = (x + 1.0) / 2.0                                 # [-1,1] -> [0,1]
     if x.ndim == 4 and x.shape[-1] > 1:
         x = jnp.mean(x, axis=-1, keepdims=True)
     dark = (x < threshold).astype(jnp.float32)
@@ -27,6 +34,7 @@ def _dark_fractions(images: jax.Array, threshold: float = 0.5) -> jax.Array:
 
 def calculate_stroke_density(images: np.ndarray, threshold: float = 0.5
                              ) -> Dict[str, float]:
+    """``images`` in [-1, 1] (the package-wide image range)."""
     d = np.asarray(_dark_fractions(jnp.asarray(images), threshold))
     return {"mean": float(d.mean()), "std": float(d.std()),
             "min": float(d.min()), "max": float(d.max())}
@@ -34,6 +42,7 @@ def calculate_stroke_density(images: np.ndarray, threshold: float = 0.5
 
 def calculate_foreground_ratio(images: np.ndarray, threshold: float = 0.5
                                ) -> Dict[str, object]:
+    """``images`` in [-1, 1] (the package-wide image range)."""
     d = np.asarray(_dark_fractions(jnp.asarray(images), threshold))
     return {
         "mean": float(d.mean()), "std": float(d.std()),

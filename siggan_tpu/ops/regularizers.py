@@ -68,13 +68,15 @@ def spectral_norm(
     out_dim = w.shape[-1]
     mat = jnp.reshape(jnp.moveaxis(w, -1, 0), (out_dim, -1)).astype(jnp.float32)
     u = state["u"]
-    if train:
+    if train and n_iter > 0:
         for _ in range(n_iter):
             v = _l2norm(mat.T @ u)
             u = _l2norm(mat @ v)
         u = jax.lax.stop_gradient(u)
         v = jax.lax.stop_gradient(v)
     else:
+        # eval — or train with the power iteration frozen (n_iter=0):
+        # compute v once from the stored u.
         v = _l2norm(mat.T @ u)
     sigma = u @ (mat @ v)
     w_sn = (w.astype(jnp.float32) / sigma).astype(w.dtype)

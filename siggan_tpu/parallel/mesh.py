@@ -29,7 +29,17 @@ def make_mesh(cfg: MeshConfig = MeshConfig(), devices: Optional[Sequence] = None
     devs = np.asarray(devices if devices is not None else jax.devices())
     num_model = max(1, cfg.num_model)
     num_data = cfg.num_data if cfg.num_data > 0 else len(devs) // num_model
-    use = devs[: num_data * num_model].reshape(num_data, num_model)
+    need = num_data * num_model
+    if need > len(devs):
+        raise ValueError(
+            f"mesh ({num_data} data x {num_model} model = {need} devices) "
+            f"exceeds the {len(devs)} visible devices")
+    if need < len(devs):
+        # Explicit sizes that underuse the slice are legal (e.g. power-of-2
+        # meshes on odd slices) but must not pass silently.
+        print(f"NOTE: mesh uses {need} of {len(devs)} visible devices",
+              flush=True)
+    use = devs[:need].reshape(num_data, num_model)
     return Mesh(use, (cfg.data_axis, cfg.model_axis))
 
 

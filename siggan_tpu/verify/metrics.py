@@ -38,6 +38,12 @@ def compute_verification_metrics(y_true: np.ndarray, y_scores: np.ndarray,
     eer = (fpr[eer_idx] + fnr[eer_idx]) / 2
     eer_threshold = (roc_thresholds[eer_idx]
                      if len(roc_thresholds) > eer_idx else threshold)
+    if not np.isfinite(eer_threshold):
+        # sklearn >= 1.3 prepends an inf threshold to roc_curve; a
+        # degenerate (constant-score) verifier then lands argmin on it.
+        # inf would serialize as invalid JSON and break the EER plot line.
+        finite = roc_thresholds[np.isfinite(roc_thresholds)]
+        eer_threshold = float(finite.max()) if len(finite) else float(threshold)
 
     return {
         "accuracy": float(accuracy),

@@ -113,7 +113,10 @@ def apply_fn(params: Dict, state: Dict, x1: jax.Array, x2: jax.Array, *,
     the second twin's forward updates the running stats after the first.
     """
     if train:
-        rng = jax.random.key(0) if rng is None else rng
+        if rng is None:
+            # Same contract as encode()/discriminator.apply_fn: a silent
+            # fixed key would freeze the dropout masks across all steps.
+            raise ValueError("train=True requires an rng for dropout")
         r1, r2, r3 = jax.random.split(rng, 3)
     else:
         r1 = r2 = r3 = None

@@ -101,19 +101,10 @@ def evaluate(state: VerifierState, data, batch_size: int = 128,
 def predict_scores(params, bn, img1: np.ndarray, img2: np.ndarray,
                    batch_size: int = 128, eval_fn=None) -> np.ndarray:
     """Batched similarity scores in [0, 1] (padded-batch jit, one shape)."""
+    from siggan_tpu.eval.common import batched_apply
     ev = eval_fn or make_eval_fn()
-    n = len(img1)
-    pad = (-n) % batch_size
-    if pad:
-        img1 = np.concatenate([img1, np.zeros((pad,) + img1.shape[1:],
-                                              img1.dtype)])
-        img2 = np.concatenate([img2, np.zeros((pad,) + img2.shape[1:],
-                                              img2.dtype)])
-    outs = []
-    for s in range(0, len(img1), batch_size):
-        outs.append(ev(params, bn, jnp.asarray(img1[s:s + batch_size]),
-                       jnp.asarray(img2[s:s + batch_size])))
-    return np.concatenate([np.asarray(jax.device_get(o)) for o in outs])[:n]
+    return batched_apply(lambda a, b: ev(params, bn, a, b), img1, img2,
+                         batch_size=batch_size)
 
 
 def train_verifier(train_data, val_data, *, epochs: int = 20,

@@ -256,3 +256,42 @@ def test_conditional_session_interpolate_and_dscore():
         imgs, st.d_params, st.d_state, cfg.model,
         y=np.full(4, 1, np.int32))
     assert scores.shape == (4,)
+
+
+def test_spectral_norm_frozen_power_iteration():
+    """n_iter=0 with train=True reuses the stored u (round-3 review:
+    NameError)."""
+    import jax
+    import numpy as np
+
+    from siggan_tpu.ops.regularizers import spectral_norm
+
+    w = jnp.asarray(np.random.RandomState(0).randn(3, 3, 4, 8), jnp.float32)
+    state = {"u": jnp.ones((8,), jnp.float32) / jnp.sqrt(8.0)}
+    w0, s0 = spectral_norm(w, state, train=True, n_iter=0)
+    w_eval, _ = spectral_norm(w, state, train=False)
+    np.testing.assert_allclose(np.asarray(w0), np.asarray(w_eval), rtol=1e-6)
+
+
+def test_eer_threshold_finite_for_constant_scores():
+    """A constant-score verifier must not emit an inf EER threshold
+    (invalid JSON + broken plot line — round-3 review)."""
+    import numpy as np
+
+    from siggan_tpu.verify.metrics import compute_verification_metrics
+
+    y = np.array([0, 1, 0, 1])
+    scores = np.full(4, 0.7)
+    m = compute_verification_metrics(y, scores, (scores >= 0.5).astype(int))
+    assert np.isfinite(m["eer_threshold"])
+
+
+def test_stroke_stats_unconditional_remap():
+    """All-bright [-1,1] batches score on the same scale as mixed batches
+    (round-3 review: the min()<0 heuristic flipped the pixel scale)."""
+    import numpy as np
+
+    from siggan_tpu.eval.stroke import calculate_stroke_density
+
+    bright = np.full((4, 16, 16, 1), 0.2, np.float32)   # gray 0.6 in [0,1]
+    assert calculate_stroke_density(bright)["mean"] == 0.0  # nothing dark
