@@ -108,7 +108,7 @@ def test_compute_metrics_graceful_failure(monkeypatch):
     def boom(*a, **k):
         raise RuntimeError("synthetic failure")
 
-    monkeypatch.setattr("siggan_tpu.eval.fid.FIDScorer.fid", boom)
+    monkeypatch.setattr("siggan_tpu.eval.fid.FIDScorer.features", boom)
     rs = np.random.RandomState(0)
     imgs = (rs.rand(8, 64, 64, 1) * 2 - 1).astype(np.float32)
     res = ev.compute_metrics(imgs, imgs, lpips_subset=4)
