@@ -8,11 +8,13 @@ but is meaningless for the numbers).
 Baseline ("vs_baseline"): MEASURED derivation, see BASELINE.md "H100-
 equivalent baseline". Summary: running the actual reference train step
 in-env (scripts/bench_reference_torch.py — torch-CPU, exact recipe) counts
-1,872 ATen dispatches per step; eager fp32 PyTorch with no compile/graphs is
-launch-bound on any GPU at 3.5-6 us/launch => 6.6-11.2 ms/step => 5.7k-9.7k
-img/s H100-equivalent, and both cross-checks (the reference's own "2-4 h on
-GPU" claim => 37-73 img/s; its host-side input pipeline => low thousands)
-are LOWER. H100_EQUIV_IMG_S = 10_000 is the generous end of that range.
+1,065 LEAF ATen dispatches per step (1,872 flat, incl. composite wrappers);
+eager fp32 PyTorch with no compile/graphs is launch-bound on any GPU at
+3.5-6 us/launch => 3.7-6.4 ms/step => 10.0k-17.2k img/s H100-equivalent IF
+launches were the only constraint — but both cross-checks bind far lower
+(the reference's own "2-4 h on GPU" claim => 37-73 img/s; its host-side
+input pipeline => low thousands). H100_EQUIV_IMG_S = 10_000 sits at the
+bottom of the launch-bound range, 3-5x above the binding pipeline bound.
 vs_baseline >= 5.0 meets the north star.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.

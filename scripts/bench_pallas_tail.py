@@ -65,7 +65,12 @@ def bench(image_size, batch=64, K=32, iters=8):
     def scan_of(fn):
         def multi(x):
             def body(c, _):
-                img, sts = fn(x)
+                # Thread the carry into the INPUT too: with a loop-invariant
+                # fn(x), XLA can hoist the whole forward out of the scan
+                # (and does so only for the non-opaque XLA arm, biasing the
+                # comparison). + 0*c keeps the body iteration-dependent at
+                # zero arithmetic cost.
+                img, sts = fn(x + (0.0 * c).astype(x.dtype))
                 # fold outputs into the carry so nothing is dead code
                 return c + jnp.float32(img.astype(jnp.float32).mean()) \
                     + sts[0]["mean"][0], None

@@ -54,10 +54,19 @@ def main() -> None:
     with profile(activities=[ProfilerActivity.CPU], with_flops=True) as prof:
         gan.train_step(batch)
     events = prof.key_averages()
-    # Leaf ATen ops only (aten::* excluding composite wrappers that just
-    # re-dispatch); `count` sums actual dispatches.
+    # key_averages() flattens the dispatch chain (aten::conv2d ->
+    # aten::convolution -> aten::_convolution -> kernel), so summing every
+    # aten::* event OVERCOUNTS real kernel launches by the wrapper depth.
+    # Report both: the flat total (what earlier rounds recorded) and the
+    # LEAF count (events with no aten child in the call tree) — the honest
+    # launch-bound input. Leaves come from the un-averaged event tree.
     aten = [e for e in events if e.key.startswith("aten::")]
     n_ops = sum(e.count for e in aten)
+    tree = prof.events()
+    n_leaf = sum(
+        1 for e in tree
+        if e.name.startswith("aten::")
+        and not any(c.name.startswith("aten::") for c in e.cpu_children))
     flops = sum(e.flops for e in events if e.flops)
 
     out = {
@@ -65,6 +74,7 @@ def main() -> None:
         "cpu_step_ms": round(dt * 1000, 2),
         "cpu_images_per_sec": round(cpu_img_s, 1),
         "aten_dispatches_per_step": int(n_ops),
+        "aten_leaf_dispatches_per_step": int(n_leaf),
         "profiler_flops_per_step": int(flops),
         "batch": 64,
         "image_size": 64,

@@ -136,7 +136,9 @@ def evaluate(run_dir=None, recipe_note=""):
                     if corr > 0.8 else
                     "class conditioning weak — see per-class numbers"),
     }
-    Path("docs/examples/conditional.json").write_text(json.dumps(out, indent=2))
+    outp = Path("docs/examples/conditional.json")
+    outp.parent.mkdir(parents=True, exist_ok=True)
+    outp.write_text(json.dumps(out, indent=2))
     print(json.dumps({k: v for k, v in out.items() if k != "per_class"},
                      indent=2), flush=True)
 

@@ -88,8 +88,9 @@ def main():
         idx = tr.ckpt.available()
         ms = [m for m in tr.logger.metrics if "ms_per_step" in m]
         steady = float(np.median([m["ms_per_step"] for m in ms[2:]] or [0]))
+    rate = cfg.batch_size / steady * 1000 if steady > 0 else float("nan")
     print(f"train {train_s:.0f}s; steady {steady:.2f} ms/step "
-          f"({cfg.batch_size / steady * 1000:.0f} img/s)", flush=True)
+          f"({rate:.0f} img/s)", flush=True)
 
     # Evaluate best checkpoint.
     real = generate_dataset(1024, 128, seed=7)

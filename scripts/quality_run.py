@@ -142,8 +142,9 @@ def evaluate():
     (out / "report.json").write_text(json.dumps(report, indent=2))
     contact_sheet(fake[:64], out / "fake_grid.png")
     contact_sheet(real[:64], out / "real_grid.png")
-    shutil.copy(sorted((RUN / "samples").glob("epoch_*.png"))[-1],
-                out / "progress_final.png")
+    grids = sorted((RUN / "samples").glob("epoch_*.png"))
+    if grids:   # sweep runs set sample_interval=0 (no grids)
+        shutil.copy(grids[-1], out / "progress_final.png")
     print(f"FID {report['fid_mean']:.1f}±{report['fid_std']:.1f} "
           f"(floor {floor:.1f}, {report['fid_mean']/floor:.2f}x) "
           f"LPIPS {report['lpips_diversity_mean']:.4f}", flush=True)

@@ -38,7 +38,8 @@ def run(tag, **kw):
     tr.train()
     idx = tr.ckpt.available()
     fids = [m.get("fid") for m in tr.logger.metrics if "fid" in m]
-    print(f"RESULT {tag}: best_fid={idx.get('best_fid'):.1f} "
+    bf = idx.get("best_fid")
+    print(f"RESULT {tag}: best_fid={'n/a' if bf is None else f'{bf:.1f}'} "
           f"at epoch {idx.get('best')} (fid trail: "
           f"{[round(f, 1) for f in fids]})", flush=True)
     return idx.get("best_fid")

@@ -93,7 +93,8 @@ def report(trace_dir: str, top: int = 40) -> None:
 
 
 if __name__ == "__main__":
-    d = sys.argv[1] if len(sys.argv) > 1 else "/tmp/trace_step"
+    args = [a for a in sys.argv[1:] if a != "--report-only"]
+    d = args[0] if args else "/tmp/trace_step"
     if "--report-only" not in sys.argv:
         capture(d)
     report(d)

@@ -144,6 +144,7 @@ def main() -> None:
                                        if isinstance(v, float)), flush=True)
 
     out = Path("docs/examples/verifier_backbone.json")
+    out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(report, indent=2))
     print(f"wrote {out}", flush=True)
 

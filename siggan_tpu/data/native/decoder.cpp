@@ -52,6 +52,10 @@ bool decode_png(FILE* f, Image* img) {
     png_destroy_read_struct(&png, nullptr, nullptr);
     return false;
   }
+  // `rows` must outlive a libpng longjmp: locals constructed AFTER
+  // setjmp are skipped by the jump (destructor never runs -> leak on
+  // every corrupt PNG). Declare it before the jump point.
+  std::vector<png_bytep> rows;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     return false;
@@ -76,7 +80,7 @@ bool decode_png(FILE* f, Image* img) {
   img->h = (int)h;
   img->channels = channels;
   img->pixels.resize((size_t)w * h * channels);
-  std::vector<png_bytep> rows(h);
+  rows.resize(h);
   for (png_uint_32 y = 0; y < h; ++y)
     rows[y] = img->pixels.data() + (size_t)y * w * channels;
   png_read_image(png, rows.data());
@@ -107,6 +111,15 @@ bool decode_jpeg(FILE* f, Image* img) {
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
+  // CMYK/YCCK scans would reach to_gray's RGB luma formula with 4
+  // channels of the wrong colorspace — have libjpeg hand us RGB (or keep
+  // native grayscale), matching what PIL's convert("L") sees.
+  if (cinfo.jpeg_color_space == JCS_CMYK ||
+      cinfo.jpeg_color_space == JCS_YCCK) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;  // rare; the per-file PIL fallback converts correctly
+  }
+  if (cinfo.num_components != 1) cinfo.out_color_space = JCS_RGB;
   jpeg_start_decompress(&cinfo);
   img->w = cinfo.output_width;
   img->h = cinfo.output_height;

@@ -49,7 +49,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return _lib
     if _build_failed:
         return None
-    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+    # A packaged install may ship only the built .so (no source): use it
+    # as-is. Rebuild only when the source exists and is newer.
+    if not _LIB.exists() or (_SRC.exists()
+                             and _LIB.stat().st_mtime < _SRC.stat().st_mtime):
         if not _build():
             _build_failed = True
             return None
