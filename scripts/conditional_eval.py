@@ -54,6 +54,23 @@ def train():
     print("train done", flush=True)
 
 
+def _verdict(n_ok: int, n_ok_v, n: int, corr: float) -> str:
+    """Derived from the MEASUREMENTS (an earlier hardcoded string shipped a
+    stale 'stays experimental' conclusion alongside passing numbers)."""
+    steers = n_ok >= 6 or (n_ok_v is not None and n_ok_v >= 6)
+    if steers:
+        via = f"{n_ok}/{n} random-init" + (
+            f" and {n_ok_v}/{n} verifier-backbone" if n_ok_v is not None else "")
+        return (f"class conditioning STEERS at per-class FID level ({via}; "
+                f"fg-ratio correlation {corr:.3f}) — the v2.0 done-criterion "
+                f"(>=6/{n} steered, mean own < other) is met")
+    if corr > 0.8:
+        return ("class conditioning is learned at the style level (fg-ratio "
+                "correlation) but per-class FID remains quality-dominated — "
+                "needs longer training")
+    return "class conditioning weak — see per-class numbers"
+
+
 def evaluate(run_dir=None, recipe_note=""):
     import numpy as np
 
@@ -128,13 +145,8 @@ def evaluate(run_dir=None, recipe_note=""):
                           "(own-half FID 400-600 vs other-mix 5k-12k)",
         "style_steering_fg_ratio_correlation": corr,
         "per_class_fg_ratio": {"real": fr_real, "fake": fr_fake},
-        "verdict": ("class conditioning is LEARNED at the style level "
-                    "(fg-ratio correlation) while per-class FID remains "
-                    "dominated by the overall residual quality gap — "
-                    "conditional fidelity at FID level needs longer "
-                    "training; status stays 'experimental'"
-                    if corr > 0.8 else
-                    "class conditioning weak — see per-class numbers"),
+        "verdict": _verdict(n_ok, n_ok_v if per_class_v else None,
+                            N_WRITERS, corr),
     }
     outp = Path("docs/examples/conditional.json")
     outp.parent.mkdir(parents=True, exist_ok=True)
