@@ -75,6 +75,12 @@ class ModelConfig:
     # (ops/packed.py:conv3s1p1_matmul_both): K=36 contraction instead of a
     # Cin=4 conv. Perf experiment knob; same numerics class as above.
     d_conv1_matmul: bool = False
+    # Custom VJP for G's matmul-form packed final conv
+    # (ops/packed.py:conv3_mc_as_matmul_cvjp): one merged-tap tensor of the
+    # output cotangent feeds both gradient dots instead of autodiff's
+    # 9Q-channel pad-accumulate buffer. Perf experiment knob; same numerics
+    # class as the two above (fp reassociation only, tested).
+    g_final_cvjp: bool = False
     dropout: float = 0.25          # discriminator Dropout2d rate
     leaky_slope: float = 0.2
     # Generator activation for the ablation grid ("relu" | "leaky_relu"),

@@ -214,13 +214,17 @@ def apply_fn(
 
     if packed_now:
         from siggan_tpu.ops.packed import (conv3_mc_as_matmul,
+                                           conv3_mc_as_matmul_cvjp,
                                            pack_conv3_kernel_both_mc)
         wp = pack_conv3_kernel_both_mc(params["final"]["w"])
         bp = jnp.broadcast_to(params["final"]["b"], (4,))
         # Matmul-form final conv: the direct (3,3,128,4) conv and its VJP
         # are the slowest ops in the whole train step (C<=4 lane waste —
         # see conv3_mc_as_matmul docstring for the measured numbers).
-        img = conv3_mc_as_matmul(h, wp, bp, compute_dtype=compute_dtype)
+        if cfg.g_final_cvjp:
+            img = conv3_mc_as_matmul_cvjp(compute_dtype)(h, wp, bp)
+        else:
+            img = conv3_mc_as_matmul(h, wp, bp, compute_dtype=compute_dtype)
     elif packed_output:
         from siggan_tpu.ops.packed import pack_final_conv_kernel
         wp = pack_final_conv_kernel(params["final"]["w"])

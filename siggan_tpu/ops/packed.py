@@ -395,6 +395,62 @@ def conv3_mc_as_matmul(h: jax.Array, wp: jax.Array,
     return out.astype(y.dtype)
 
 
+def conv3_mc_as_matmul_cvjp(compute_dtype=None):
+    """``conv3_mc_as_matmul`` with a hand-written backward that builds ONE
+    merged-tap tensor of the output cotangent and feeds BOTH gradient dots.
+
+    Autodiff on the forward's [dot -> 9-shift sum] transposes the shift-sum
+    into 9 pad-accumulates over a (N, R+2, S+2, 9Q) tap buffer before the dh
+    and dW3 dots (xprof at 64px/b64: ~30 us of tap-build pads + ~17 us of
+    dot-layout copies per step). Both gradients are correlations of the SAME
+    shifted copies of ``dy``:
+
+        dh[n,u,v,k]    = sum_{e,q} T[n,u,v,(e,q)] * wp[flip(e), k, q]
+        dwp[d,k,q]     = sum_{n,u,v} h[n,u,v,k] * T[n,u,v,(flip(d),q)]
+
+    with T = merged_taps(dy) (9 shifted copies of the Q=4-channel cotangent,
+    built with one pad + 9 slices). So the backward is: build T once, one
+    (36 -> K) dot for dh, one (N*R*S)-contraction dot for dW3 — no 9Q-channel
+    scatter buffer, no layout copies between the sum transpose and the dots.
+    Same math as the autodiff VJP up to fp reassociation (tested in
+    tests/test_packed.py).
+    """
+
+    @jax.custom_vjp
+    def conv(h, wp, b):
+        return conv3_mc_as_matmul(h, wp, b, compute_dtype=compute_dtype)
+
+    def fwd(h, wp, b):
+        if compute_dtype is not None:
+            h = h.astype(compute_dtype)
+            wp = wp.astype(compute_dtype)
+        return conv(h, wp, b), (h, wp)
+
+    def bwd(res, dy):
+        h, wp = res
+        kh, kw, K, Q = wp.shape
+        dyc = dy if compute_dtype is None else dy.astype(compute_dtype)
+        T = _merged_taps(dyc)                             # (N, R, S, 9Q)
+        # dh: contract the 9Q tap axis against the flipped kernel.
+        wb = jnp.transpose(wp[::-1, ::-1], (0, 1, 3, 2)).reshape(kh * kw * Q, K)
+        dh = jax.lax.dot_general(
+            T, wb, (((3,), (0,)), ((), ())),
+            preferred_element_type=(T.dtype if compute_dtype is not None
+                                    else jnp.float32)).astype(h.dtype)
+        # dW3: contract batch x space; un-flip the tap axis back to (dr, dc).
+        dwt = jax.lax.dot_general(
+            h, T, (((0, 1, 2), (0, 1, 2)), ((), ())),
+            preferred_element_type=jnp.float32)           # (K, 9Q)
+        dwp = jnp.transpose(
+            dwt.reshape(K, kh, kw, Q)[:, ::-1, ::-1, :], (1, 2, 0, 3)
+        ).astype(wp.dtype)
+        db = jnp.sum(dy, axis=(0, 1, 2)).astype(jnp.float32)
+        return dh, dwp, db
+
+    conv.defvjp(fwd, bwd)
+    return conv
+
+
 def conv3s1p1_matmul_dgrad(compute_dtype=None):
     """Build a conv(x, wp, b, stride=1, padding=1) whose INPUT gradient is
     computed in the merged-tap matmul form.

@@ -199,6 +199,66 @@ def test_conv3s1p1_matmul_both_matches_autodiff():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_conv3_mc_as_matmul_cvjp_matches_autodiff():
+    """The hand-written merged-tap backward of the matmul-form final conv
+    must equal autodiff on conv3_mc_as_matmul (and the plain conv VJP),
+    up to fp reassociation."""
+    from siggan_tpu.ops.conv import conv2d
+    from siggan_tpu.ops.packed import conv3_mc_as_matmul, conv3_mc_as_matmul_cvjp
+
+    rs = np.random.RandomState(2)
+    h = jnp.asarray(rs.randn(2, 10, 10, 16).astype(np.float32))
+    w = jnp.asarray(rs.randn(3, 3, 16, 4).astype(np.float32) * 0.1)
+    b = jnp.asarray(rs.randn(4).astype(np.float32) * 0.1)
+
+    y_ref = conv2d(h, w, b, stride=1, padding=1)
+    y = conv3_mc_as_matmul_cvjp()(h, w, b)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(jnp.sin(fn(*a) * 2.0))
+
+    ref = jax.grad(loss(lambda h_, w_, b_: conv3_mc_as_matmul(h_, w_, b_)),
+                   argnums=(0, 1, 2))(h, w, b)
+    got = jax.grad(loss(conv3_mc_as_matmul_cvjp()), argnums=(0, 1, 2))(h, w, b)
+    for a, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_g_final_cvjp_flag_generator_gradients_match():
+    """Through the generator flag: packed-tail forward and full G backward
+    identical with and without g_final_cvjp."""
+    from siggan_tpu.models import generator
+
+    cfg_a = ModelConfig(image_size=64, base_features=32)
+    cfg_b = dataclasses.replace(cfg_a, g_final_cvjp=True)
+    params, state = generator.init_fn(jax.random.key(3), cfg_a)
+    z = jnp.asarray(np.random.RandomState(3).randn(4, cfg_a.latent_dim)
+                    .astype(np.float32))
+
+    def gloss(cfg):
+        def f(p):
+            img, _ = generator.apply_fn(p, state, z, cfg, train=True,
+                                        packed_output=True)
+            return jnp.sum(jnp.tanh(img * 0.5))
+        return f
+
+    ya, _ = generator.apply_fn(params, state, z, cfg_a, train=True,
+                               packed_output=True)
+    yb, _ = generator.apply_fn(params, state, z, cfg_b, train=True,
+                               packed_output=True)
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(ya),
+                               rtol=1e-5, atol=1e-5)
+    ga = jax.grad(gloss(cfg_a))(params)
+    gb = jax.grad(gloss(cfg_b))(params)
+    for a, g in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_d_dgrad_phases_flag_full_backward_matches():
     """Through the discriminator flag: full D backward identical (two extra
