@@ -19,6 +19,18 @@ RUN = Path("/tmp/run128")
 N_IMAGES = 4096
 EPOCHS = 300   # the v1.1 plan prescribes 300 (model_versions.yaml:59)
 
+# Round-3 tuning (the plan says 300 epochs *plus tuning*): the measured
+# search over schedule/data arms (scripts/search_128.py, /tmp/search128)
+# found data scale to be the binding lever — n=8192 improved best
+# trainer-FID 758 -> 611 while 450-epoch schedules changed nothing.
+# --run-dir <dir> [--n-images N] [--log-name NAME] evaluates such an
+# existing run in place.
+if "--run-dir" in sys.argv:
+    RUN = Path(sys.argv[sys.argv.index("--run-dir") + 1])
+    sys.argv.append("--eval-only")
+if "--n-images" in sys.argv:
+    N_IMAGES = int(sys.argv[sys.argv.index("--n-images") + 1])
+
 
 def main():
     import jax
@@ -71,7 +83,8 @@ def main():
     if "--eval-only" in sys.argv:
         # Score an already-trained run: pull wall time / step time from the
         # run's own logger JSON instead of re-training.
-        logged = json.loads((RUN / "logs" / "drive128.json").read_text())
+        log_files = sorted((RUN / "logs").glob("*.json"))
+        logged = json.loads(log_files[0].read_text())
         ms = [m["ms_per_step"] for m in logged["metrics"]
               if "ms_per_step" in m]
         steady = float(np.median(ms[2:] or [0]))
@@ -113,8 +126,9 @@ def main():
         lps.append(float(lpips_mod.diversity(lp, fake[:100])))
         print(f"seed {seed}: FID {fids[-1]:.1f}", flush=True)
     out = {
-        "recipe": "reference v1.1 (128px, spectral norm), 300 epochs, "
-                  "TTUR d_lr 1e-4, linear LR decay, b64"
+        "recipe": f"reference v1.1 (128px, spectral norm), {cfg.epochs} "
+                  f"epochs, {N_IMAGES} images, TTUR d_lr 1e-4, linear LR "
+                  "decay, b64"
                   + (f", diffaugment={diffaug}" if diffaug else ""),
         "train_wall_s": train_s,
         "steady_ms_per_step": steady,

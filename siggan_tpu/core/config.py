@@ -78,9 +78,10 @@ class ModelConfig:
     # Custom VJP for G's matmul-form packed final conv
     # (ops/packed.py:conv3_mc_as_matmul_cvjp): one merged-tap tensor of the
     # output cotangent feeds both gradient dots instead of autodiff's
-    # 9Q-channel pad-accumulate buffer. Perf experiment knob; same numerics
-    # class as the two above (fp reassociation only, tested).
-    g_final_cvjp: bool = False
+    # 9Q-channel pad-accumulate buffer. Same numerics class as the two knobs
+    # above (fp reassociation only, tested). Default ON: measured 1.496 ->
+    # 1.469 ms/step at 64px/b64/K=256 on TPU v5e (BASELINE.md round-3b).
+    g_final_cvjp: bool = True
     dropout: float = 0.25          # discriminator Dropout2d rate
     leaky_slope: float = 0.2
     # Generator activation for the ablation grid ("relu" | "leaky_relu"),

@@ -729,10 +729,22 @@ def make_resident_multi_step(cfg: TrainConfig, n_images: int, scan_steps: int):
             else:
                 batch = jnp.take(images, idx, axis=0)
             if conditional:
-                return base_step(s, batch, jnp.take(labels, idx, axis=0))
-            return base_step(s, batch)
+                s, m = base_step(s, batch, jnp.take(labels, idx, axis=0))
+            else:
+                s, m = base_step(s, batch)
+            # Pack the ~8 scalar metrics into ONE vector so the scan carries
+            # a single stacked (K, M) array instead of M per-step
+            # dynamic-update-slices (pure bookkeeping on the hot path). The
+            # names are config-static; scan traces the body exactly once, so
+            # the capture below is filled before the zip runs.
+            names_cell[:] = sorted(m)
+            return s, jnp.stack([m[k].astype(jnp.float32) for k in names_cell])
 
-        return jax.lax.scan(body, state, None, length=scan_steps)
+        names_cell: list = []
+        final_state, stacked = jax.lax.scan(body, state, None,
+                                            length=scan_steps)
+        return final_state, {k: stacked[:, i]
+                             for i, k in enumerate(names_cell)}
 
     return multi_step, steps_per_epoch
 
