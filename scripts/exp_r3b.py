@@ -60,6 +60,21 @@ def main():
             bench(c, images, 512, label="g_final_cvjp")
         elif arm == "k1024":
             bench(cfg, images, 1024, label="base")
+        elif arm == "packp":
+            c = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, g_pack_pallas=True))
+            bench(c, images, 256, label="g_pack_pallas")
+        elif arm == "unroll2":
+            import functools
+            orig_scan = jax.lax.scan
+            def scan_u(*a, **k):
+                k.setdefault("unroll", 2)
+                return orig_scan(*a, **k)
+            jax.lax.scan = scan_u
+            try:
+                bench(cfg, images, 256, label="unroll2")
+            finally:
+                jax.lax.scan = orig_scan
         elif arm == "dconv1":
             c = dataclasses.replace(
                 cfg, model=dataclasses.replace(cfg.model, d_conv1_matmul=True))

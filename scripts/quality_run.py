@@ -63,7 +63,8 @@ def train():
     images = generate_dataset(N_IMAGES, 64, seed=7)
     print(f"dataset: {images.shape}", flush=True)
     cfg = TrainConfig(
-        model=ModelConfig(use_spectral_norm=True),
+        model=ModelConfig(use_spectral_norm=True,
+                          latent_dim=spec.get("latent", 100)),
         optim=OptimConfig(d_lr=spec.get("d_lr", 1e-4),  # TTUR (r2 winner)
                           g_lr=2e-4,
                           lr_schedule=spec.get("lr", "constant"),
@@ -72,8 +73,12 @@ def train():
         diffaugment=spec.get("diffaug", ""),
         augment_bulk=spec.get("bulk", True),
         n_critic=spec.get("n_critic", 1),
+        batch_size=spec.get("batch_size", 64),
         epochs=spec.get("epochs", EPOCHS),
-        fid_interval=10, fid_samples=512,
+        # Selection quality: 1024-sample in-training FID halves the
+        # small-sample noise of the best-checkpoint pick (the search arms
+        # stay at 512 so their trainer-FIDs remain cross-comparable).
+        fid_interval=10, fid_samples=1024,
         sample_interval=20, checkpoint_interval=10,
         checkpoint_dir=str(RUN / "checkpoints"),
         sample_dir=str(RUN / "samples"),

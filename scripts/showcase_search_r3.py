@@ -54,6 +54,18 @@ VARIANTS = {
                             diffaug="translation,cutout", d_lr=5e-5),
     "diffaug_tc_1200": dict(ema=0.0, n=8192, lr="linear",
                             diffaug="translation,cutout", epochs=1200),
+    # Round-3 wave 3, informed by the 128px tuning search (search_128.py):
+    # data scale was the binding lever there (trainer-FID 758 -> 611 at
+    # n 4096 -> 8192). Re-measure the 16k arm and push to 32k, plus two
+    # capacity/dynamics levers the earlier waves never touched: global
+    # batch 128 (better BN statistics; the engine runs it at 51k img/s)
+    # and latent_dim 200 (the ablation grid's largest z).
+    "diffaug_tc_32k": dict(ema=0.0, n=32768, lr="linear",
+                           diffaug="translation,cutout"),
+    "diffaug_tc_b128": dict(ema=0.0, n=8192, lr="linear",
+                            diffaug="translation,cutout", batch_size=128),
+    "diffaug_tc_z200": dict(ema=0.0, n=8192, lr="linear",
+                            diffaug="translation,cutout", latent=200),
 }
 
 
@@ -65,7 +77,8 @@ def run(name: str, spec: dict) -> dict:
     out = Path(f"/tmp/showcase_r3/{name}")
     images = generate_dataset(spec["n"], 64, seed=7)
     cfg = TrainConfig(
-        model=ModelConfig(use_spectral_norm=True),
+        model=ModelConfig(use_spectral_norm=True,
+                          latent_dim=spec.get("latent", 100)),
         optim=OptimConfig(d_lr=spec.get("d_lr", 1e-4), g_lr=2e-4,
                           lr_schedule=spec["lr"],
                           lr_decay_start_frac=spec.get("decay_start", 0.5)),
@@ -73,6 +86,7 @@ def run(name: str, spec: dict) -> dict:
         diffaugment=spec.get("diffaug", ""),
         augment_bulk=spec.get("bulk", True),
         n_critic=spec.get("n_critic", 1),
+        batch_size=spec.get("batch_size", 64),
         epochs=spec.get("epochs", EPOCHS),
         sample_interval=0, checkpoint_interval=10,
         fid_interval=10, fid_samples=512,

@@ -82,6 +82,11 @@ class ModelConfig:
     # above (fp reassociation only, tested). Default ON: measured 1.496 ->
     # 1.469 ms/step at 64px/b64/K=256 on TPU v5e (BASELINE.md round-3b).
     g_final_cvjp: bool = True
+    # Build ALL packed generator-tail kernels in one Pallas launch
+    # (ops/packed.py:pack_tail_kernels_pallas) instead of ~50 strided-slice
+    # micro-fusions of ~2.2 us each. Backward is the identical XLA
+    # transpose; forward equality tested. Perf experiment knob.
+    g_pack_pallas: bool = False
     dropout: float = 0.25          # discriminator Dropout2d rate
     leaky_slope: float = 0.2
     # Generator activation for the ablation grid ("relu" | "leaky_relu"),

@@ -183,17 +183,39 @@ def apply_fn(
     h = _act(h, cfg)
     h = jnp.reshape(h, (h.shape[0], 4, 4, c0))
 
+    # One-launch Pallas pack of every tail kernel (vs per-layer slice/concat
+    # micro-fusions); the packed forms and gradients are identical.
+    tail_packed = None
+    entry_i = None
+    if packed_output and cfg.g_pack_pallas:
+        from siggan_tpu.ops.packed import pack_tail_kernels_pallas
+        entry_i = next((i for i, (_, co) in enumerate(blocks) if co <= 64),
+                       None)
+        if entry_i is not None:
+            ws = [params["blocks"][i]["w"]
+                  for i in range(entry_i, len(blocks))] + [params["final"]["w"]]
+            tail_packed = pack_tail_kernels_pallas(
+                ws, out_dtype=compute_dtype)
+
     packed_now = False
     for i in range(len(blocks)):
         p = params["blocks"][i]
         if packed_output and not packed_now and blocks[i][1] <= 64:
-            from siggan_tpu.ops.packed import pack_convt_kernel_out_mc
-            h = conv2d(h, pack_convt_kernel_out_mc(p["w"]), stride=1,
+            if tail_packed is not None:
+                wp_i = tail_packed[0]
+            else:
+                from siggan_tpu.ops.packed import pack_convt_kernel_out_mc
+                wp_i = pack_convt_kernel_out_mc(p["w"])
+            h = conv2d(h, wp_i, stride=1,
                        padding=1, compute_dtype=compute_dtype)
             packed_now = True
         elif packed_now:
-            from siggan_tpu.ops.packed import pack_convt_kernel_both_mc
-            h = conv_transpose2d(h, pack_convt_kernel_both_mc(p["w"]),
+            if tail_packed is not None:
+                wp_i = tail_packed[i - entry_i]
+            else:
+                from siggan_tpu.ops.packed import pack_convt_kernel_both_mc
+                wp_i = pack_convt_kernel_both_mc(p["w"])
+            h = conv_transpose2d(h, wp_i,
                                  stride=2, padding=1,
                                  compute_dtype=compute_dtype)
         else:
@@ -216,7 +238,8 @@ def apply_fn(
         from siggan_tpu.ops.packed import (conv3_mc_as_matmul,
                                            conv3_mc_as_matmul_cvjp,
                                            pack_conv3_kernel_both_mc)
-        wp = pack_conv3_kernel_both_mc(params["final"]["w"])
+        wp = (tail_packed[-1] if tail_packed is not None
+              else pack_conv3_kernel_both_mc(params["final"]["w"]))
         bp = jnp.broadcast_to(params["final"]["b"], (4,))
         # Matmul-form final conv: the direct (3,3,128,4) conv and its VJP
         # are the slowest ops in the whole train step (C<=4 lane waste —

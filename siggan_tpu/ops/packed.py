@@ -553,6 +553,82 @@ def conv3s1p1_matmul_both(compute_dtype=None):
 
 
 # ---------------------------------------------------------------------------
+# All tail kernel packs in ONE Pallas program.
+#
+# The pack_* constructors lower inside the train step as ~2.2 us strided-
+# slice micro-fusions — 16 per interior kernel, ~50-60 us/step of pure
+# launch latency at 64px/b64 (xprof round 3b; the bytes are trivial). All
+# packed tail kernels together are <2 MB, so one Pallas program can load
+# every canonical kernel into VMEM, run the exact same pad/slice/concat
+# placement (traced jnp, compiled by Mosaic as ONE kernel), and write all
+# packed forms in a single launch. Backward keeps the existing XLA
+# transpose (jax.linear_transpose of the same placement), so gradients are
+# bit-identical to the slice/concat form.
+# ---------------------------------------------------------------------------
+
+
+def _tail_pack_fns(n_both: int):
+    """The per-kernel pack constructors for [entry, n_both interiors, final]."""
+    return ([pack_convt_kernel_out_mc]
+            + [pack_convt_kernel_both_mc] * n_both
+            + [pack_conv3_kernel_both_mc])
+
+
+def pack_tail_kernels_pallas(ws, out_dtype=None, interpret=None):
+    """Pack the generator tail's canonical kernels in one Pallas launch.
+
+    ``ws``: [w_entry (4,4,Ci,Co), *w_both (4,4,Ci,Co)..., w_final (3,3,C,1)].
+    Returns the same tuple ``tuple(pack_fn(w) for ...)`` (cast to
+    ``out_dtype`` when given) — equality with the XLA constructors is
+    tested; gradients flow through ``jax.linear_transpose`` of the XLA
+    form, so the backward graph is unchanged.
+    """
+    import jax.experimental.pallas as pl
+
+    ws = tuple(ws)
+    n_both = len(ws) - 2
+    fns = _tail_pack_fns(n_both)
+    odt = jnp.dtype(out_dtype) if out_dtype is not None else ws[0].dtype
+    if interpret is None:
+        # Interpret (host) mode only where Mosaic cannot compile — the CPU
+        # test backend. Any accelerator platform gets the real kernel.
+        interpret = jax.default_backend() == "cpu"
+
+    def xla_pack(*ws_):
+        return tuple(f(w.astype(odt)) for f, w in zip(fns, ws_))
+
+    out_shapes = jax.eval_shape(xla_pack, *ws)
+
+    def kernel(*refs):
+        ins, outs = refs[:len(ws)], refs[len(ws):]
+        for f, i_ref, o_ref in zip(fns, ins, outs):
+            o_ref[...] = f(i_ref[...].astype(odt))
+
+    def pallas_pack(*ws_):
+        return pl.pallas_call(
+            kernel,
+            out_shape=tuple(jax.ShapeDtypeStruct(s.shape, s.dtype)
+                            for s in out_shapes),
+            interpret=interpret,
+        )(*ws_)
+
+    @jax.custom_vjp
+    def pack(*ws_):
+        return pallas_pack(*ws_)
+
+    w_avals = tuple(jax.ShapeDtypeStruct(w.shape, w.dtype) for w in ws)
+
+    def fwd(*ws_):
+        return pack(*ws_), None
+
+    def bwd(_, dps):
+        return jax.linear_transpose(xla_pack, *w_avals)(tuple(dps))
+
+    pack.defvjp(fwd, bwd)
+    return pack(*ws)
+
+
+# ---------------------------------------------------------------------------
 # Kernel packing as one constant-index gather — MEASURED DEAD END.
 #
 # The pack_* constructors above are written as pad + strided-slice concats;

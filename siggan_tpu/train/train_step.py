@@ -640,6 +640,35 @@ def make_resident_train_step(cfg: TrainConfig, n_images: int):
     return train_step, steps_per_epoch
 
 
+def _build_aug_table(cfg: TrainConfig, images: jax.Array, e0, aug_stream,
+                     n_aug: int) -> jax.Array:
+    """The scan window's flattened augmented-image table: n_aug epochs of
+    the resident set, each warped with its epoch's parameter draws.
+
+    vmap (not lax.map) over the epoch axis: the whole build fuses into one
+    full-lane warp over n_aug * n_images images, and XLA lays the result out
+    for the scan body's row gather directly — the lax.map form left a
+    ~134 MB layout copy between the map's while-loop buffer and the gather
+    (xprof: copy.517, 6.1 us/step at 64px/b64/K=256). Peak memory is the
+    f32 warp intermediates over the whole window (~6x the bf16 table);
+    ``_use_aug_table`` gates table sizes long before that matters."""
+    n_images = images.shape[0]
+    itemsize = 2 if cfg.compute_dtype == "bfloat16" else 4
+    table_mb = (n_aug * n_images * cfg.model.image_size ** 2
+                * cfg.model.image_channels * itemsize) / 2 ** 20
+    if table_mb * 12 > cfg.resident_max_mb:
+        # Big window: bound peak memory at one epoch of f32 intermediates
+        # (the vmapped warp holds ~6x the bf16 table in f32 scratch).
+        augs = jax.lax.map(
+            lambda e: _bulk_augment_epoch(cfg, images, e0 + e, aug_stream),
+            jnp.arange(n_aug))
+    else:
+        augs = jax.vmap(
+            lambda e: _bulk_augment_epoch(cfg, images, e0 + e, aug_stream)
+        )(jnp.arange(n_aug))
+    return augs.reshape((n_aug * n_images,) + augs.shape[2:])
+
+
 def make_resident_multi_step(cfg: TrainConfig, n_images: int, scan_steps: int):
     """K resident train steps per dispatch via lax.scan — a device-side
     training loop. On high-latency device links one dispatch per K steps is
@@ -695,14 +724,10 @@ def make_resident_multi_step(cfg: TrainConfig, n_images: int, scan_steps: int):
                 jnp.arange(n_epochs))
         if bulk and table:
             # Hoisted augmentation: augment+pack the dataset once per epoch
-            # in the window (lax.map keeps peak memory at one epoch), then
-            # the scan body gathers from the flattened table — zero
-            # per-step warp/convert/pack ops (keying identical to
-            # make_resident_train_step; exact-equivalence tested).
-            augs = jax.lax.map(
-                lambda e: _bulk_augment_epoch(cfg, images, e0 + e, aug_stream),
-                jnp.arange(n_aug))
-            augs = augs.reshape((n_aug * n_images,) + augs.shape[2:])
+            # in the window, then the scan body gathers from the flattened
+            # table — zero per-step warp/convert/pack ops (keying identical
+            # to make_resident_train_step; exact-equivalence tested).
+            augs = _build_aug_table(cfg, images, e0, aug_stream, n_aug)
         elif bulk:
             # Table too big for HBM: draw only the window's per-image
             # PARAMETER tables (n_aug x n_images scalars) and warp each

@@ -259,6 +259,38 @@ def test_g_final_cvjp_flag_generator_gradients_match():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_g_pack_pallas_flag_generator_matches():
+    """One-launch Pallas tail pack (interpret mode on CPU): forward and full
+    G backward identical to the slice/concat constructors."""
+    from siggan_tpu.models import generator
+
+    cfg_a = ModelConfig(image_size=64, base_features=32)
+    cfg_b = dataclasses.replace(cfg_a, g_pack_pallas=True)
+    params, state = generator.init_fn(jax.random.key(5), cfg_a)
+    z = jnp.asarray(np.random.RandomState(5).randn(4, cfg_a.latent_dim)
+                    .astype(np.float32))
+
+    def gloss(cfg):
+        def f(p):
+            img, _ = generator.apply_fn(p, state, z, cfg, train=True,
+                                        packed_output=True)
+            return jnp.sum(jnp.tanh(img * 0.5))
+        return f
+
+    ya, _ = generator.apply_fn(params, state, z, cfg_a, train=True,
+                               packed_output=True)
+    yb, _ = generator.apply_fn(params, state, z, cfg_b, train=True,
+                               packed_output=True)
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(ya),
+                               rtol=1e-6, atol=1e-6)
+    ga = jax.grad(gloss(cfg_a))(params)
+    gb = jax.grad(gloss(cfg_b))(params)
+    for a, g in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_d_dgrad_phases_flag_full_backward_matches():
     """Through the discriminator flag: full D backward identical (two extra
