@@ -48,13 +48,14 @@ def main() -> None:
         (rs.rand(2048, cfg.model.image_size, cfg.model.image_size,
                  cfg.model.image_channels) * 2 - 1).astype(np.float32))
 
-    # 256 steps (8 epochs) per dispatch: amortizes the lax.scan/dispatch
+    # 512 steps (16 epochs) per dispatch: amortizes the lax.scan/dispatch
     # bookkeeping (measured 1.577 ms @ K=64 -> 1.543 @ K=128 -> 1.502 @ K=256
-    # at 64px/b64). Epoch semantics are exact for any K — the
-    # scan body indexes a per-epoch permutation/augmentation table (see
-    # make_resident_multi_step). The trainer uses epoch-aligned windows for
-    # per-epoch observability; this measures the engine at its dispatch floor.
-    K = 256
+    # -> 1.423 @ K=512, saturated at K=1024, at 64px/b64). Epoch semantics
+    # are exact for any K — the scan body indexes a per-epoch permutation/
+    # augmentation table (see make_resident_multi_step). The trainer uses
+    # epoch-aligned windows for per-epoch observability; this measures the
+    # engine at its dispatch floor.
+    K = 512
     step_fn, _ = make_resident_multi_step(cfg, images.shape[0], K)
     step = jax.jit(step_fn, donate_argnums=(0,))
 

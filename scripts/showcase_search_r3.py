@@ -66,6 +66,18 @@ VARIANTS = {
                             diffaug="translation,cutout", batch_size=128),
     "diffaug_tc_z200": dict(ema=0.0, n=8192, lr="linear",
                             diffaug="translation,cutout", latent=200),
+    # Round-3 wave 4: combinations of the wave-3 winners (z200 413.2 <
+    # b128 446.0 < 16k 455.1 < control 495.5) plus a z=400 direction probe.
+    "diffaug_tc_z200_16k": dict(ema=0.0, n=16384, lr="linear",
+                                diffaug="translation,cutout", latent=200),
+    "diffaug_tc_z200_b128": dict(ema=0.0, n=8192, lr="linear",
+                                 diffaug="translation,cutout", latent=200,
+                                 batch_size=128),
+    "diffaug_tc_z200_16k_b128": dict(ema=0.0, n=16384, lr="linear",
+                                     diffaug="translation,cutout",
+                                     latent=200, batch_size=128),
+    "diffaug_tc_z400": dict(ema=0.0, n=8192, lr="linear",
+                            diffaug="translation,cutout", latent=400),
 }
 
 

@@ -599,18 +599,73 @@ def pack_tail_kernels_pallas(ws, out_dtype=None, interpret=None):
 
     out_shapes = jax.eval_shape(xla_pack, *ws)
 
+    # Mosaic lowers neither `rev` nor strided slices (they become >2-D
+    # gathers), so the trivial-byte preprocessing stays in XLA — reverse the
+    # entry kernel, zero-pad each spatial window to EVEN extent — and the
+    # kernel does what actually costs launches in the XLA form: the 4/16/16
+    # per-phase block extractions, as parity reshapes + contiguous slices
+    # written straight into sub-regions of the packed output refs.
+    #
+    # A stride-2 slice rows [r0, r0+2, ...] of a padded kernel equals, on
+    # wp6 = wp.reshape(H/2, 2, W/2, 2, Ci, Co), the contiguous window
+    # wp6[r0//2 : r0//2+kk, r0%2, c0//2 : c0//2+kk, c0%2].
+
+    def _write_blocks(o_ref, wp6, starts, kk, ci, co):
+        for bi, (r0, c0) in enumerate(starts):
+            blk = wp6[r0 // 2:r0 // 2 + kk, r0 % 2,
+                      c0 // 2:c0 // 2 + kk, c0 % 2]
+            p, q = bi // 4, bi % 4
+            o_ref[:, :, p * ci:(p + 1) * ci, q * co:(q + 1) * co] = blk
+
+    # (r0, c0) start tables, in (p-major, q-minor) block order matching the
+    # planar concat of the XLA constructors.
+    def _starts_entry():
+        return [(2 - qr, 2 - qc) for qr in (0, 1) for qc in (0, 1)]
+
+    def _starts_both():
+        return [(4 + qr - 2 * pr - 1, 4 + qc - 2 * pc - 1)
+                for pr in (0, 1) for pc in (0, 1)
+                for qr in (0, 1) for qc in (0, 1)]
+
+    def _starts_conv3():
+        return [(3 + pr - qr - 1, 3 + pc - qc - 1)
+                for pr in (0, 1) for pc in (0, 1)
+                for qr in (0, 1) for qc in (0, 1)]
+
     def kernel(*refs):
         ins, outs = refs[:len(ws)], refs[len(ws):]
-        for f, i_ref, o_ref in zip(fns, ins, outs):
-            o_ref[...] = f(i_ref[...].astype(odt))
+        for j, (f, i_ref, o_ref) in enumerate(zip(fns, ins, outs)):
+            w6 = i_ref[...].astype(odt)
+            h2 = w6.shape[0] // 2
+            ci, co = w6.shape[-2], w6.shape[-1]
+            w6 = w6.reshape(h2, 2, h2, 2, ci, co)
+            if f is pack_convt_kernel_out_mc:
+                # entry: 4 q-blocks, kernel pre-reversed+padded, p index 0
+                for bi, (r0, c0) in enumerate(_starts_entry()):
+                    blk = w6[r0 // 2:r0 // 2 + 3, r0 % 2,
+                             c0 // 2:c0 // 2 + 3, c0 % 2]
+                    o_ref[:, :, :, bi * co:(bi + 1) * co] = blk
+            elif f is pack_convt_kernel_both_mc:
+                _write_blocks(o_ref, w6, _starts_both(), 4, ci, co)
+            else:
+                _write_blocks(o_ref, w6, _starts_conv3(), 3, ci, co)
 
     def pallas_pack(*ws_):
+        pre = []
+        for f, w in zip(fns, ws_):
+            if f is pack_convt_kernel_out_mc:
+                pre.append(jnp.pad(w[::-1, ::-1],
+                                   ((2, 2), (2, 2), (0, 0), (0, 0))))
+            elif f is pack_convt_kernel_both_mc:
+                pre.append(jnp.pad(w, ((4, 4), (4, 4), (0, 0), (0, 0))))
+            else:   # conv3: pad to EVEN extent (row 9 never read: r0+4 <= 7)
+                pre.append(jnp.pad(w, ((3, 4), (3, 4), (0, 0), (0, 0))))
         return pl.pallas_call(
             kernel,
             out_shape=tuple(jax.ShapeDtypeStruct(s.shape, s.dtype)
                             for s in out_shapes),
             interpret=interpret,
-        )(*ws_)
+        )(*pre)
 
     @jax.custom_vjp
     def pack(*ws_):
