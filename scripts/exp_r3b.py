@@ -79,6 +79,23 @@ def main():
             c = dataclasses.replace(
                 cfg, model=dataclasses.replace(cfg.model, d_conv1_matmul=True))
             bench(c, images, 256, label="d_conv1_matmul")
+        elif arm == "bf16mom":
+            c = dataclasses.replace(
+                cfg, optim=dataclasses.replace(cfg.optim,
+                                               moment_dtype="bfloat16"))
+            bench(c, images, 512, label="bf16 moments")
+        elif arm == "rbg":
+            # Process-global PRNG impl swap: rbg generates 4x32-bit blocks on
+            # the vector unit in one pass vs threefry's 20-round mix. Must run
+            # in its own process (keys are typed at creation).
+            jax.config.update("jax_default_prng_impl", "rbg")
+            bench(cfg, images, 512, label="rbg prng")
+        elif arm == "rbg_bf16mom":
+            jax.config.update("jax_default_prng_impl", "rbg")
+            c = dataclasses.replace(
+                cfg, optim=dataclasses.replace(cfg.optim,
+                                               moment_dtype="bfloat16"))
+            bench(c, images, 512, label="rbg + bf16 moments")
         else:
             print(f"unknown arm {arm}", flush=True)
 

@@ -44,6 +44,10 @@ def parse_arguments(argv=None) -> argparse.Namespace:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--rng_impl", type=str, default="rbg",
+                   choices=["rbg", "threefry2x32"],
+                   help="PRNG bit generator (rbg = faster on TPU; "
+                        "threefry2x32 = version-stable streams)")
     p.add_argument("--sample_interval", type=int, default=5)
     p.add_argument("--checkpoint_interval", type=int, default=10)
     p.add_argument("--checkpoint_dir", type=str, default="./checkpoints")
@@ -106,6 +110,7 @@ def build_config(args: argparse.Namespace):
         label_smoothing=args.label_smoothing, n_critic=args.n_critic,
         share_fakes=args.share_fakes,
         seed=args.seed, compute_dtype=args.compute_dtype,
+        rng_impl=args.rng_impl,
         sample_interval=args.sample_interval,
         checkpoint_interval=args.checkpoint_interval,
         data_dir=args.data_dir, checkpoint_dir=ckpt, sample_dir=sample,

@@ -138,10 +138,13 @@ class OptimConfig:
     # Adam moment storage dtype. "bfloat16" halves the optimizer state's HBM
     # traffic (the moments are read+written every step); the moment MATH is
     # still f32 (upcast, update, downcast) and params stay f32 master
-    # weights. Opt-in: equivalence to f32 moments is tested statistically
-    # (tests/test_ema_acgan.py) and the faithful default stays f32 (the
-    # bf16 variant measured SLOWER on v5e — BASELINE.md round-3 dead ends).
-    moment_dtype: str = "float32"
+    # weights. Equivalence to f32 moments is tested statistically
+    # (tests/test_ema_acgan.py). Default bfloat16: on the current graph the
+    # biggest wgrad+Adam fusion sits AT the f32 p+m+v HBM floor, and bf16
+    # moments measured -14 us/step at 64px/b64 (an earlier, differently-
+    # fused graph measured the opposite — see BASELINE.md round-3 notes).
+    # Set "float32" for bit-level optimizer-state compatibility with torch.
+    moment_dtype: str = "bfloat16"
 
 
 @dataclass(frozen=True)
@@ -196,6 +199,16 @@ class TrainConfig:
     # ops/diffaug.py for the packed-layout-exact policy definitions.
     diffaugment: str = ""
     seed: int = 42
+    # PRNG bit-generator for every stream derived from `seed` ("rbg" |
+    # "threefry2x32"). rbg = XLA's counter-based RngBitGenerator, one vector
+    # pass per block vs threefry's 20 rounds: -40 us/step at 64px/b64 (z
+    # noise, dropout, DiffAugment and the epoch shuffle/augment tables all
+    # sample in the hot loop). Both are deterministic given (seed, step);
+    # rbg streams are additionally tied to the (jax version, backend) pair,
+    # so pick threefry2x32 when bit-identical replays across versions matter
+    # more than speed. Runs resumed from pre-knob checkpoints continue under
+    # rbg (a reseed, not a semantic change).
+    rng_impl: str = "rbg"
 
     # Numerics: params kept in f32; matmul/conv compute in bf16 on TPU when
     # enabled (MXU-native), losses and BN statistics always f32.

@@ -137,7 +137,7 @@ def make_optimizers(cfg: TrainConfig):
     ``vanilla_gan_model.py:110-120`` + ``train_vanilla_gan_signatures.py:262``
     (torch clips grads before the Adam update; optax.chain does the same).
 
-    ``optim.moment_dtype="bfloat16"`` swaps in ``adam_low_mem`` (opt-in);
+    ``optim.moment_dtype="bfloat16"`` (default) swaps in ``adam_low_mem``;
     ``optim.lr_schedule`` swaps the constant lr for a decay schedule."""
     def chain(lr, step_mult=1):
         lr = _lr_schedule(cfg, lr, step_mult)
@@ -158,7 +158,7 @@ def make_optimizers(cfg: TrainConfig):
 
 
 def create_train_state(cfg: TrainConfig) -> TrainState:
-    root = rnglib.root_key(cfg.seed)
+    root = rnglib.root_key(cfg.seed, cfg.rng_impl)
     g_params, g_bn = generator.init_fn(rnglib.stream(root, rnglib.STREAM_INIT_G), cfg.model)
     d_params, d_state = discriminator.init_fn(rnglib.stream(root, rnglib.STREAM_INIT_D), cfg.model)
     g_tx, d_tx = make_optimizers(cfg)

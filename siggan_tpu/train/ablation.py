@@ -87,7 +87,7 @@ class AblationResult:
 def make_ablation_train_step(cfg: TrainConfig):
     """Fused step with the ablation trainer's shared-fake semantics."""
     g_tx, d_tx = make_optimizers(cfg)
-    root = rnglib.root_key(cfg.seed)
+    root = rnglib.root_key(cfg.seed, cfg.rng_impl)
     noise_stream = rnglib.stream(root, rnglib.STREAM_NOISE)
     drop_stream = rnglib.stream(root, rnglib.STREAM_DROPOUT)
     cdt = _dtype(cfg)

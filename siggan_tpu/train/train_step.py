@@ -464,7 +464,7 @@ def make_train_step(cfg: TrainConfig, real_pre_packed: bool = False):
     augment+pack path.
     """
     g_tx, d_tx = make_optimizers(cfg)
-    root = rnglib.root_key(cfg.seed)
+    root = rnglib.root_key(cfg.seed, cfg.rng_impl)
     noise_stream = rnglib.stream(root, rnglib.STREAM_NOISE)
     drop_stream = rnglib.stream(root, rnglib.STREAM_DROPOUT)
     aug_stream = rnglib.stream(root, rnglib.STREAM_AUGMENT)
@@ -612,7 +612,7 @@ def make_resident_train_step(cfg: TrainConfig, n_images: int):
     inner_cfg = cfg.replace(augment=False) if bulk else cfg
     base_step = make_train_step(inner_cfg,
                                 real_pre_packed=bulk and _packed(cfg))
-    root = rnglib.root_key(cfg.seed)
+    root = rnglib.root_key(cfg.seed, cfg.rng_impl)
     data_stream = rnglib.stream(root, rnglib.STREAM_DATA)
     aug_stream = rnglib.stream(root, rnglib.STREAM_AUGMENT)
 
@@ -710,7 +710,7 @@ def make_resident_multi_step(cfg: TrainConfig, n_images: int, scan_steps: int):
     inner_cfg = cfg.replace(augment=False) if bulk else cfg
     base_step = make_train_step(inner_cfg,
                                 real_pre_packed=bulk and _packed(cfg))
-    root = rnglib.root_key(cfg.seed)
+    root = rnglib.root_key(cfg.seed, cfg.rng_impl)
     data_stream = rnglib.stream(root, rnglib.STREAM_DATA)
     aug_stream = rnglib.stream(root, rnglib.STREAM_AUGMENT)
 

@@ -157,7 +157,7 @@ class GANTrainer:
         self._generate = jax.jit(make_eval_generate(cfg))
 
         self.fixed_noise = jax.random.normal(
-            rnglib.stream(rnglib.root_key(cfg.seed), rnglib.STREAM_FIXED),
+            rnglib.stream(rnglib.root_key(cfg.seed, cfg.rng_impl), rnglib.STREAM_FIXED),
             (cfg.fixed_noise_samples, cfg.model.latent_dim), jnp.float32)
         self.start_epoch = 0
 
@@ -176,7 +176,7 @@ class GANTrainer:
             sel = rs.permutation(len(images))[:cfg.fid_samples]
             self._fid_real = np.asarray(images[sel], np.float32)
             self._fid_noise = jax.random.normal(
-                rnglib.stream(rnglib.root_key(cfg.seed), rnglib.STREAM_EVAL),
+                rnglib.stream(rnglib.root_key(cfg.seed, cfg.rng_impl), rnglib.STREAM_EVAL),
                 (cfg.fid_samples, cfg.model.latent_dim), jnp.float32)
             # Fixed per-sample class labels so conditional FID evals are
             # comparable epoch to epoch (and _generate gets the labels the
