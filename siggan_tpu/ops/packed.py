@@ -580,8 +580,9 @@ def pack_tail_kernels_pallas(ws, out_dtype=None, interpret=None):
     ``ws``: [w_entry (4,4,Ci,Co), *w_both (4,4,Ci,Co)..., w_final (3,3,C,1)].
     Returns the same tuple ``tuple(pack_fn(w) for ...)`` (cast to
     ``out_dtype`` when given) — equality with the XLA constructors is
-    tested; gradients flow through ``jax.linear_transpose`` of the XLA
-    form, so the backward graph is unchanged.
+    tested. The backward is a second one-launch Pallas kernel (the exact
+    placement transpose); gradient equivalence to the slice/concat form is
+    tested in tests/test_packed.py.
     """
     import jax.experimental.pallas as pl
 
@@ -676,8 +677,76 @@ def pack_tail_kernels_pallas(ws, out_dtype=None, interpret=None):
     def fwd(*ws_):
         return pack(*ws_), None
 
+    # Backward: ALSO one Pallas launch. The XLA transpose of the slice/
+    # concat placement lowers as ~45 chained scatter-add micro-fusions
+    # (16 per kernel at ~1.3 us launch latency each — ~60 us/step at
+    # 64px/b64, the single largest non-conv bucket in the round-3c trace).
+    # The placement transpose is the same static block map run in reverse:
+    # accumulate each cotangent block into the padded parity buffer, then
+    # let XLA undo the trivial-byte pre-processing (unpad slice, un-reverse,
+    # cast back to the master dtype). Blocks overlap (one tap feeds several
+    # phases), so accumulation association differs from XLA's scatter-add
+    # chain; the kernel accumulates in f32 regardless of odt, which is
+    # strictly tighter than the bf16 chain it replaces.
+    # Mosaic lowers neither scatter-add nor strided slices, so the padded
+    # parity buffer is emitted as FOUR separate (Hp/2, Hp/2, ci, co) plane
+    # refs per kernel — one per (row, col) parity — accumulated with the
+    # same contiguous-slice reads/writes the forward uses; XLA reassembles
+    # the planes (transpose of the forward's parity reshape, trivial bytes).
+    def _hp(f, w):
+        return w.shape[0] + (4 if f is pack_convt_kernel_out_mc else
+                             8 if f is pack_convt_kernel_both_mc else 7)
+
+    plane_shapes = tuple(
+        jax.ShapeDtypeStruct((_hp(f, w) // 2, _hp(f, w) // 2) + w.shape[2:],
+                             jnp.float32)
+        for f, w in zip(fns, w_avals) for _ in range(4))
+
+    def _blocks(f, dp, ci, co):
+        """Yield (r0, c0, kk, cotangent block) for each placement."""
+        if f is pack_convt_kernel_out_mc:
+            for bi, (r0, c0) in enumerate(_starts_entry()):
+                yield r0, c0, 3, dp[:, :, :, bi * co:(bi + 1) * co]
+        else:
+            starts, kk = ((_starts_both(), 4)
+                          if f is pack_convt_kernel_both_mc
+                          else (_starts_conv3(), 3))
+            for bi, (r0, c0) in enumerate(starts):
+                p, q = bi // 4, bi % 4
+                yield r0, c0, kk, dp[:, :, p * ci:(p + 1) * ci,
+                                     q * co:(q + 1) * co]
+
+    def bwd_kernel(*refs):
+        dins, planes = refs[:len(ws)], refs[len(ws):]
+        for j, (f, w_av, dp_ref) in enumerate(zip(fns, w_avals, dins)):
+            ci, co = w_av.shape[2], w_av.shape[3]
+            for pr in planes[4 * j:4 * j + 4]:
+                pr[...] = jnp.zeros(pr.shape, pr.dtype)
+            dp = dp_ref[...].astype(jnp.float32)
+            for r0, c0, kk, blk in _blocks(f, dp, ci, co):
+                pr = planes[4 * j + 2 * (r0 % 2) + (c0 % 2)]
+                a, b = r0 // 2, c0 // 2
+                pr[a:a + kk, b:b + kk] = pr[a:a + kk, b:b + kk] + blk
+
     def bwd(_, dps):
-        return jax.linear_transpose(xla_pack, *w_avals)(tuple(dps))
+        planes = pl.pallas_call(
+            bwd_kernel, out_shape=plane_shapes, interpret=interpret)(*dps)
+        grads = []
+        for j, (f, w_av) in enumerate(zip(fns, w_avals)):
+            p4 = planes[4 * j:4 * j + 4]
+            hp = p4[0].shape[0] * 2
+            # dpre[2a+pr, 2b+pc] = plane[2pr+pc][a, b]
+            d6 = jnp.stack(p4).reshape((2, 2) + p4[0].shape)
+            d = d6.transpose(2, 0, 3, 1, 4, 5).reshape(
+                (hp, hp) + p4[0].shape[2:])
+            if f is pack_convt_kernel_out_mc:
+                g = d[2:6, 2:6][::-1, ::-1]
+            elif f is pack_convt_kernel_both_mc:
+                g = d[4:8, 4:8]
+            else:
+                g = d[3:6, 3:6]
+            grads.append(g.astype(w_av.dtype))
+        return tuple(grads)
 
     pack.defvjp(fwd, bwd)
     return pack(*ws)
