@@ -88,6 +88,14 @@ class ModelConfig:
     # transpose; forward equality tested. Default ON: measured 1.469 ->
     # 1.430 ms/step at 64px/b64/K=256 on TPU v5e (BASELINE.md round-3b).
     g_pack_pallas: bool = True
+    # Adjoint-form backward for every generator ConvTranspose
+    # (ops/conv.py:convt_adjoint_dgrad): dx as a plain strided conv and dw
+    # through its reversal-free wgrad, instead of the autodiff transpose of
+    # the input-dilated forward — which leaves XLA a window-reversal it must
+    # materialize as reverse(dy) over the full activation cotangent plus an
+    # un-fusable add pass (~28 us/step at 64px/b64). Same numerics class as
+    # the knobs above (fp reassociation only, tested).
+    g_convt_cvjp: bool = False
     dropout: float = 0.25          # discriminator Dropout2d rate
     leaky_slope: float = 0.2
     # Generator activation for the ablation grid ("relu" | "leaky_relu"),

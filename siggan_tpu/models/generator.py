@@ -197,6 +197,14 @@ def apply_fn(
             tail_packed = pack_tail_kernels_pallas(
                 ws, out_dtype=compute_dtype)
 
+    if cfg.g_convt_cvjp:
+        from siggan_tpu.ops.conv import convt_adjoint_dgrad
+        convt = convt_adjoint_dgrad(
+            stride=2, padding=1, compute_dtype=compute_dtype)
+    else:
+        convt = lambda h_, w_: conv_transpose2d(  # noqa: E731
+            h_, w_, stride=2, padding=1, compute_dtype=compute_dtype)
+
     packed_now = False
     for i in range(len(blocks)):
         p = params["blocks"][i]
@@ -215,12 +223,9 @@ def apply_fn(
             else:
                 from siggan_tpu.ops.packed import pack_convt_kernel_both_mc
                 wp_i = pack_convt_kernel_both_mc(p["w"])
-            h = conv_transpose2d(h, wp_i,
-                                 stride=2, padding=1,
-                                 compute_dtype=compute_dtype)
+            h = convt(h, wp_i)
         else:
-            h = conv_transpose2d(h, p["w"], stride=2, padding=1,
-                                 compute_dtype=compute_dtype)
+            h = convt(h, p["w"])
         bn_a, bn_b = _bn_affine(p["bn"], y_bn)
         if packed_now:
             from siggan_tpu.ops.norm import batch_norm_packed

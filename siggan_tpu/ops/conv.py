@@ -172,6 +172,62 @@ def conv_s2p1_phase_dgrad(compute_dtype=None):
     return conv
 
 
+def convt_adjoint_dgrad(stride: int = 2, padding: int = 1, compute_dtype=None):
+    """Build a ``conv_transpose2d(x, w, stride, padding)`` (no bias) whose
+    backward is written in adjoint form instead of the autodiff transpose
+    rule.
+
+    Motivation (TPU v5e xprof, 64px/b64 train step): autodiff through the
+    input-dilated forward leaves XLA a weight-gradient convolution whose
+    kernel operand must be spatially reversed, and TPU convolutions have no
+    window-reversal — the algebraic simplifier then materializes
+    ``reverse(dy)`` over the full activation cotangent (7.0 + 1.8 us/step on
+    the two packed generator blocks) plus a separate un-fusable ``add_any``
+    pass feeding it. The adjoint identities need no reversal at all:
+
+      ``convT(., w)`` is by definition the transpose of the strided
+      correlation ``conv2d(., w_swap, stride, padding)`` with
+      ``w_swap = transpose(w, (0,1,3,2))`` — so
+
+        dx = conv2d(dy, w_swap, stride, padding)        (plain strided conv)
+        dw = transpose(wgrad of that same strided conv   (reversal-free
+             at lhs=dy with cotangent x, channels        strided wgrad)
+             swapped back)
+
+    Same math as the plain VJP up to fp reassociation (exactness:
+    tests/test_packed.py). Spatial flips cancel: the forward's kernel flip
+    (conv.py:92) never enters the backward.
+    """
+
+    @jax.custom_vjp
+    def convt(x, w):
+        return conv_transpose2d(x, w, None, stride=stride, padding=padding,
+                                compute_dtype=compute_dtype)
+
+    def fwd(x, w):
+        return convt(x, w), (x, w)
+
+    def bwd(res, dy):
+        x, w = res
+        w_swap = jnp.transpose(w, (0, 1, 3, 2))     # (kh, kw, Co, Ci)
+        dyc = dy if compute_dtype is None else dy.astype(compute_dtype)
+        dx = conv2d(dyc, w_swap, None, stride=stride, padding=padding,
+                    compute_dtype=compute_dtype).astype(x.dtype)
+        # dw through the strided conv's rhs-transpose (no lhs_dilation in
+        # that graph => no reversal anywhere). Cotangent dtype must match
+        # the conv output dtype.
+        out_dtype = (jnp.float32 if compute_dtype is None
+                     else jnp.dtype(compute_dtype))
+        _, vjp = jax.vjp(
+            lambda ws: conv2d(dyc, ws, None, stride=stride, padding=padding,
+                              compute_dtype=compute_dtype), w_swap)
+        dw = jnp.transpose(vjp(x.astype(out_dtype))[0], (0, 1, 3, 2))
+        return dx, dw
+
+    convt.defvjp(fwd, bwd)
+    return convt
+
+
 def linear(
     x: jax.Array,
     w: jax.Array,

@@ -265,6 +265,64 @@ def test_g_final_cvjp_flag_generator_gradients_match():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_convt_adjoint_dgrad_matches_autodiff():
+    """The adjoint-form ConvTranspose backward (plain strided conv dx +
+    reversal-free strided wgrad) must equal the autodiff VJP of the
+    input-dilated forward (up to fp reassociation)."""
+    from siggan_tpu.ops.conv import conv_transpose2d, convt_adjoint_dgrad
+
+    rs = np.random.RandomState(4)
+    x = jnp.asarray(rs.randn(2, 8, 8, 6).astype(np.float32))
+    w = jnp.asarray(rs.randn(4, 4, 6, 10).astype(np.float32) * 0.1)
+
+    y_ref = conv_transpose2d(x, w, stride=2, padding=1)
+    y = convt_adjoint_dgrad()(x, w)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(fn):
+        return lambda x_, w_: jnp.sum(jnp.sin(fn(x_, w_) * 2.0))
+
+    ref = jax.grad(loss(lambda x_, w_: conv_transpose2d(
+        x_, w_, stride=2, padding=1)), argnums=(0, 1))(x, w)
+    got = jax.grad(loss(convt_adjoint_dgrad()), argnums=(0, 1))(x, w)
+    for a, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_g_convt_cvjp_flag_generator_gradients_match():
+    """Through the generator flag: packed-tail forward and full G backward
+    identical with and without g_convt_cvjp."""
+    from siggan_tpu.models import generator
+
+    cfg_a = ModelConfig(image_size=64, base_features=32)
+    cfg_b = dataclasses.replace(cfg_a, g_convt_cvjp=True)
+    params, state = generator.init_fn(jax.random.key(7), cfg_a)
+    z = jnp.asarray(np.random.RandomState(7).randn(4, cfg_a.latent_dim)
+                    .astype(np.float32))
+
+    def gloss(cfg):
+        def f(p):
+            img, _ = generator.apply_fn(p, state, z, cfg, train=True,
+                                        packed_output=True)
+            return jnp.sum(jnp.tanh(img * 0.5))
+        return f
+
+    ya, _ = generator.apply_fn(params, state, z, cfg_a, train=True,
+                               packed_output=True)
+    yb, _ = generator.apply_fn(params, state, z, cfg_b, train=True,
+                               packed_output=True)
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(ya),
+                               rtol=1e-6, atol=1e-6)
+    ga = jax.grad(gloss(cfg_a))(params)
+    gb = jax.grad(gloss(cfg_b))(params)
+    for a, g in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_g_pack_pallas_flag_generator_matches():
     """One-launch Pallas tail pack (interpret mode on CPU): forward and full
     G backward identical to the slice/concat constructors."""
