@@ -84,7 +84,8 @@ def score_run(label, fake_fn, src, real, scorer, lpips_params):
     for seed in GEN_SEEDS:
         fake = np.asarray(fake_fn(src, seed), np.float32)
         metrics = compute_metrics(real, fake, scorer=scorer,
-                                  lpips_params=lpips_params)
+                                  lpips_params=lpips_params,
+                                  lpips_backbone="random-init")
         fids.append(float(metrics["fid"]))
         lps.append(float(metrics.get("lpips_diversity", float("nan"))))
         overlaps.append(ink_overlap(real, fake))

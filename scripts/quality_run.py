@@ -122,7 +122,8 @@ def evaluate():
     for seed in (11, 22, 33):
         fake = session.sample(2048, seed=seed, batch_size=256)
         metrics = compute_metrics(real, fake, scorer=scorer,
-                                  lpips_params=lpips_params)
+                                  lpips_params=lpips_params,
+                                  lpips_backbone="random-init")
         fids.append(float(metrics["fid"]))
         lps.append(float(metrics.get("lpips_diversity", float("nan"))))
         print(f"seed {seed}: FID {fids[-1]:.1f} LPIPS {lps[-1]:.4f}",

@@ -27,13 +27,13 @@ def capture(trace_dir: str) -> None:
     rs = np.random.RandomState(0)
     images = jax.numpy.asarray(
         (rs.rand(2048, 64, 64, 1) * 2 - 1).astype(np.float32))
-    K = 256  # match bench.py's scan window
+    K = 512  # match bench.py's scan window
     step_fn, _ = make_resident_multi_step(cfg, images.shape[0], K)
     step = jax.jit(step_fn, donate_argnums=(0,))
     state, m = step(state, images)
     jax.block_until_ready(m["g_loss"])
     jax.profiler.start_trace(trace_dir)
-    for _ in range(4):
+    for _ in range(2):
         state, m = step(state, images)
     jax.block_until_ready(m["g_loss"])
     jax.profiler.stop_trace()

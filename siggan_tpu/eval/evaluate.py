@@ -21,6 +21,7 @@ import numpy as np
 def compute_metrics(real: np.ndarray, fake: np.ndarray, *,
                     lpips_subset: int = 100,
                     inception_params=None, lpips_params=None,
+                    lpips_backbone: str | None = None,
                     fid_backbone: str = "random-init",
                     scorer=None) -> Dict[str, Any]:
     """Both inputs (N, H, W, 1) float32 in [-1, 1].
@@ -29,6 +30,12 @@ def compute_metrics(real: np.ndarray, fake: np.ndarray, *,
     "random-init" | "torchvision:<sd.pt>" | "verifier:<ckpt.pkl>". A trained
     backbone additionally reports the real-vs-real FID floor (split-half)
     and a feature-space diversity so its band is self-interpreting.
+
+    ``lpips_backbone``: provenance label for ``lpips_params`` — the CALLER
+    must say what the params are ("torchvision", "random-init", …); the
+    label is never inferred from the params' mere presence (a round-3
+    report claimed "torchvision" for random-init weights). Supplying params
+    without a label records "caller-supplied (unspecified)".
 
     ``scorer``: pass an already-built ``FIDScorer`` to reuse across calls
     (skips per-call backbone re-init + re-jit); overrides the other FID
@@ -79,8 +86,11 @@ def compute_metrics(real: np.ndarray, fake: np.ndarray, *,
         params = lpips_params if lpips_params is not None else lpips_mod.init_params()
         results["lpips_diversity"] = lpips_mod.diversity(
             params, fake[:lpips_subset])
-        results["lpips_backbone"] = ("torchvision" if lpips_params is not None
-                                     else "random-init")
+        if lpips_params is None:
+            results["lpips_backbone"] = "random-init"
+        else:
+            results["lpips_backbone"] = (
+                lpips_backbone or "caller-supplied (unspecified)")
     except Exception as e:
         results["errors"]["lpips"] = f"{type(e).__name__}: {e}"
         traceback.print_exc()

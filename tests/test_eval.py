@@ -230,3 +230,62 @@ def test_precision_recall_properties():
     far = rs.randn(100, 16) + 200.0
     pr_far = precision_recall(real, far)
     assert pr_far["precision"] < 0.1 and pr_far["recall"] < 0.1
+
+
+# ---- round-4: LPIPS backbone provenance (VERDICT r3 weak #2) ----------------
+
+def test_lpips_backbone_label_is_caller_supplied():
+    """Random-init LPIPS params must NEVER be reported as "torchvision": the
+    label is caller-declared, not inferred from the params' presence (the
+    round-3 showcase report mislabeled init_params() output)."""
+    from siggan_tpu.eval import lpips as lpips_mod
+    from siggan_tpu.eval.evaluate import compute_metrics
+    from siggan_tpu.eval.fid import FIDScorer
+
+    rs = np.random.RandomState(0)
+    imgs = (rs.rand(8, 64, 64, 1) * 2 - 1).astype(np.float32)
+    scorer = FIDScorer(batch_size=8)
+    params = lpips_mod.init_params()
+
+    # Caller declares provenance -> that label, verbatim.
+    m = compute_metrics(imgs, imgs, scorer=scorer, lpips_subset=4,
+                        lpips_params=params, lpips_backbone="random-init")
+    assert m["lpips_backbone"] == "random-init"
+
+    # Params without a declaration -> explicit "unspecified", never a
+    # pretrained claim.
+    m = compute_metrics(imgs, imgs, scorer=scorer, lpips_subset=4,
+                        lpips_params=params)
+    assert "torchvision" not in m["lpips_backbone"]
+    assert "unspecified" in m["lpips_backbone"]
+
+    # No params -> the module's own random init, labeled as such.
+    m = compute_metrics(imgs, imgs, scorer=scorer, lpips_subset=4)
+    assert m["lpips_backbone"] == "random-init"
+
+
+def test_no_artifact_claims_untrue_torchvision_lpips():
+    """Repo artifacts must not carry the round-3 mislabel."""
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    for p in (root / "docs").rglob("*.json"):
+        try:
+            obj = json.loads(p.read_text())
+        except Exception:
+            continue
+
+        def walk(o):
+            if isinstance(o, dict):
+                for k, v in o.items():
+                    if k == "lpips_backbone":
+                        assert v != "torchvision", (
+                            f"{p}: lpips_backbone claims torchvision; no "
+                            "pretrained lpips weights exist in this env")
+                    walk(v)
+            elif isinstance(o, list):
+                for v in o:
+                    walk(v)
+
+        walk(obj)
