@@ -93,9 +93,12 @@ class ModelConfig:
     # through its reversal-free wgrad, instead of the autodiff transpose of
     # the input-dilated forward — which leaves XLA a window-reversal it must
     # materialize as reverse(dy) over the full activation cotangent plus an
-    # un-fusable add pass (~28 us/step at 64px/b64). Same numerics class as
-    # the knobs above (fp reassociation only, tested).
-    g_convt_cvjp: bool = False
+    # un-fusable add pass. Same numerics class as the knobs above (fp
+    # reassociation only, tested). Default ON: measured 1.306 -> 1.284
+    # ms/step (-22 us) at 64px/b64/K=512 on TPU v5e (BASELINE.md round-4).
+    # NOTE: all three custom-VJP knobs (this, g_final_cvjp, d_dgrad_phases)
+    # make their op reverse-mode-only — jvp raises when on.
+    g_convt_cvjp: bool = True
     dropout: float = 0.25          # discriminator Dropout2d rate
     leaky_slope: float = 0.2
     # Generator activation for the ablation grid ("relu" | "leaky_relu"),

@@ -197,6 +197,11 @@ def convt_adjoint_dgrad(stride: int = 2, padding: int = 1, compute_dtype=None):
     Same math as the plain VJP up to fp reassociation (exactness:
     tests/test_packed.py). Spatial flips cancel: the forward's kernel flip
     (conv.py:92) never enters the backward.
+
+    custom_vjp makes the op reverse-mode-only: jvp (forward-mode) raises
+    when the knob is on — same constraint as g_final_cvjp/d_dgrad_phases.
+    Keep it off in any future jvp-based path (e.g. forward-over-reverse
+    penalties).
     """
 
     @jax.custom_vjp
@@ -211,17 +216,17 @@ def convt_adjoint_dgrad(stride: int = 2, padding: int = 1, compute_dtype=None):
         x, w = res
         w_swap = jnp.transpose(w, (0, 1, 3, 2))     # (kh, kw, Co, Ci)
         dyc = dy if compute_dtype is None else dy.astype(compute_dtype)
-        dx = conv2d(dyc, w_swap, None, stride=stride, padding=padding,
-                    compute_dtype=compute_dtype).astype(x.dtype)
-        # dw through the strided conv's rhs-transpose (no lhs_dilation in
-        # that graph => no reversal anywhere). Cotangent dtype must match
-        # the conv output dtype.
-        out_dtype = (jnp.float32 if compute_dtype is None
-                     else jnp.dtype(compute_dtype))
-        _, vjp = jax.vjp(
+        # ONE strided conv serves both gradients: its primal value IS dx,
+        # and dw is its rhs-cotangent (no lhs_dilation in that graph => no
+        # window reversal anywhere). Structuring the vjp around the dx conv
+        # (instead of a second identical conv XLA would have to CSE away)
+        # makes the single-conv backward true by construction.
+        dx_p, vjp = jax.vjp(
             lambda ws: conv2d(dyc, ws, None, stride=stride, padding=padding,
                               compute_dtype=compute_dtype), w_swap)
-        dw = jnp.transpose(vjp(x.astype(out_dtype))[0], (0, 1, 3, 2))
+        dx = dx_p.astype(x.dtype)
+        # Cotangent dtype must match the conv output dtype.
+        dw = jnp.transpose(vjp(x.astype(dx_p.dtype))[0], (0, 1, 3, 2))
         return dx, dw
 
     convt.defvjp(fwd, bwd)

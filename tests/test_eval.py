@@ -194,15 +194,31 @@ def test_kid_properties():
     assert abs(kid_id["mean"]) < 0.5
 
 
+class _StubScorer:
+    """Deterministic drop-in for FIDScorer in WIRING tests: compute_metrics
+    only touches `_conditioned_features` and `backbone`, so orchestration
+    tests need not pay a CPU InceptionV3 forward per call (the real scorer
+    path is covered by test_verifier_backbone_scorer and the slow-lane
+    inception tests)."""
+
+    backbone = "random-init"
+
+    def _conditioned_features(self, real, fake):
+        def feats(x):
+            x = np.asarray(x, np.float32).reshape(len(x), -1)
+            rs = np.random.RandomState(17)
+            proj = rs.randn(x.shape[1], 64).astype(np.float32) / x.shape[1]
+            return x @ proj
+        return feats(real), feats(fake)
+
+
 def test_compute_metrics_reports_kid():
     from siggan_tpu.eval.evaluate import compute_metrics
-    from siggan_tpu.eval.fid import FIDScorer
 
     rs = np.random.RandomState(0)
     real = (rs.rand(16, 64, 64, 1) * 2 - 1).astype(np.float32)
     fake = (rs.rand(16, 64, 64, 1) * 2 - 1).astype(np.float32)
-    m = compute_metrics(real, fake, scorer=FIDScorer(batch_size=8),
-                        lpips_subset=4)
+    m = compute_metrics(real, fake, scorer=_StubScorer(), lpips_subset=4)
     assert "kid_mean" in m and "kid_std" in m and "fid" in m
     assert np.isfinite(m["kid_mean"])
 
@@ -240,11 +256,10 @@ def test_lpips_backbone_label_is_caller_supplied():
     round-3 showcase report mislabeled init_params() output)."""
     from siggan_tpu.eval import lpips as lpips_mod
     from siggan_tpu.eval.evaluate import compute_metrics
-    from siggan_tpu.eval.fid import FIDScorer
 
     rs = np.random.RandomState(0)
     imgs = (rs.rand(8, 64, 64, 1) * 2 - 1).astype(np.float32)
-    scorer = FIDScorer(batch_size=8)
+    scorer = _StubScorer()
     params = lpips_mod.init_params()
 
     # Caller declares provenance -> that label, verbatim.

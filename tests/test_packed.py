@@ -238,8 +238,11 @@ def test_g_final_cvjp_flag_generator_gradients_match():
     identical with and without g_final_cvjp."""
     from siggan_tpu.models import generator
 
-    cfg_a = ModelConfig(image_size=64, base_features=32)
-    cfg_b = dataclasses.replace(cfg_a, g_final_cvjp=True)
+    # Baseline pinned OFF explicitly: the flag is default-ON, and a bare
+    # ModelConfig() would silently compare on-vs-on.
+    cfg_b = ModelConfig(image_size=64, base_features=32)
+    assert cfg_b.g_final_cvjp
+    cfg_a = dataclasses.replace(cfg_b, g_final_cvjp=False)
     params, state = generator.init_fn(jax.random.key(3), cfg_a)
     z = jnp.asarray(np.random.RandomState(3).randn(4, cfg_a.latent_dim)
                     .astype(np.float32))
@@ -265,30 +268,41 @@ def test_g_final_cvjp_flag_generator_gradients_match():
                                    rtol=1e-4, atol=1e-5)
 
 
-def test_convt_adjoint_dgrad_matches_autodiff():
+@pytest.mark.parametrize("cdt", [None, "bfloat16"])
+def test_convt_adjoint_dgrad_matches_autodiff(cdt):
     """The adjoint-form ConvTranspose backward (plain strided conv dx +
     reversal-free strided wgrad) must equal the autodiff VJP of the
-    input-dilated forward (up to fp reassociation)."""
+    input-dilated forward (up to fp reassociation). The bf16 arm exercises
+    the bwd's cotangent/out-dtype cast plumbing — the deployed train-step
+    configuration — on CPU (looser tolerances: bf16 has ~3 decimal digits)."""
     from siggan_tpu.ops.conv import conv_transpose2d, convt_adjoint_dgrad
 
+    rtol, atol = (1e-4, 1e-5) if cdt is None else (5e-2, 5e-2)
     rs = np.random.RandomState(4)
     x = jnp.asarray(rs.randn(2, 8, 8, 6).astype(np.float32))
     w = jnp.asarray(rs.randn(4, 4, 6, 10).astype(np.float32) * 0.1)
 
-    y_ref = conv_transpose2d(x, w, stride=2, padding=1)
-    y = convt_adjoint_dgrad()(x, w)
-    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
-                               rtol=1e-5, atol=1e-5)
+    y_ref = conv_transpose2d(x, w, stride=2, padding=1, compute_dtype=cdt)
+    y = convt_adjoint_dgrad(compute_dtype=cdt)(x, w)
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(y_ref, np.float32),
+                               rtol=rtol, atol=atol)
+    assert y.dtype == y_ref.dtype
 
     def loss(fn):
-        return lambda x_, w_: jnp.sum(jnp.sin(fn(x_, w_) * 2.0))
+        return lambda x_, w_: jnp.sum(
+            jnp.sin(fn(x_, w_).astype(jnp.float32) * 2.0))
 
     ref = jax.grad(loss(lambda x_, w_: conv_transpose2d(
-        x_, w_, stride=2, padding=1)), argnums=(0, 1))(x, w)
-    got = jax.grad(loss(convt_adjoint_dgrad()), argnums=(0, 1))(x, w)
+        x_, w_, stride=2, padding=1, compute_dtype=cdt)),
+        argnums=(0, 1))(x, w)
+    got = jax.grad(loss(convt_adjoint_dgrad(compute_dtype=cdt)),
+                   argnums=(0, 1))(x, w)
     for a, g in zip(ref, got):
-        np.testing.assert_allclose(np.asarray(g), np.asarray(a),
-                                   rtol=1e-4, atol=1e-5)
+        assert g.dtype == a.dtype
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(a, np.float32),
+                                   rtol=rtol, atol=atol)
 
 
 def test_g_convt_cvjp_flag_generator_gradients_match():
@@ -296,8 +310,11 @@ def test_g_convt_cvjp_flag_generator_gradients_match():
     identical with and without g_convt_cvjp."""
     from siggan_tpu.models import generator
 
-    cfg_a = ModelConfig(image_size=64, base_features=32)
-    cfg_b = dataclasses.replace(cfg_a, g_convt_cvjp=True)
+    # Baseline pinned OFF explicitly: the flag is default-ON, and a bare
+    # ModelConfig() would silently compare on-vs-on.
+    cfg_b = ModelConfig(image_size=64, base_features=32)
+    assert cfg_b.g_convt_cvjp
+    cfg_a = dataclasses.replace(cfg_b, g_convt_cvjp=False)
     params, state = generator.init_fn(jax.random.key(7), cfg_a)
     z = jnp.asarray(np.random.RandomState(7).randn(4, cfg_a.latent_dim)
                     .astype(np.float32))
@@ -328,8 +345,12 @@ def test_g_pack_pallas_flag_generator_matches():
     G backward identical to the slice/concat constructors."""
     from siggan_tpu.models import generator
 
-    cfg_a = ModelConfig(image_size=64, base_features=32)
-    cfg_b = dataclasses.replace(cfg_a, g_pack_pallas=True)
+    # Baseline pinned OFF explicitly: the flag is default-ON, and a bare
+    # ModelConfig() would silently compare on-vs-on (this test DID exactly
+    # that between the round-3b default flip and round 4).
+    cfg_b = ModelConfig(image_size=64, base_features=32)
+    assert cfg_b.g_pack_pallas
+    cfg_a = dataclasses.replace(cfg_b, g_pack_pallas=False)
     params, state = generator.init_fn(jax.random.key(5), cfg_a)
     z = jnp.asarray(np.random.RandomState(5).randn(4, cfg_a.latent_dim)
                     .astype(np.float32))
