@@ -57,7 +57,9 @@ def main() -> None:
     # engine at its dispatch floor.
     K = 512
     step_fn, _ = make_resident_multi_step(cfg, images.shape[0], K)
-    step = jax.jit(step_fn, donate_argnums=(0,))
+    from siggan_tpu.core.platform import tpu_compiler_options
+    step = jax.jit(step_fn, donate_argnums=(0,),
+                   compiler_options=tpu_compiler_options())
 
     def sync(s):
         jax.block_until_ready(jax.tree_util.tree_leaves(s)[0])

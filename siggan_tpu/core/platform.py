@@ -43,6 +43,32 @@ def setup(cache_dir: str | None = None) -> None:
     _done = True
 
 
+# Default XLA:TPU compiler options for the hot training path. The
+# latency-hiding scheduler overlaps the step's DMA (augment-table gathers,
+# Adam state traffic) with MXU compute across the scan body: measured
+# 1.284 -> 1.2795 ms/step at 64px/b64/K=512 on TPU v5e (round-4 flag sweep,
+# scripts/flag_sweep.py). scoped_vmem 16/48/64 MiB variants measured flat
+# or slower (1.285 / 1.302 / 1.343). Applied via jit(compiler_options=...)
+# because the axon client rejects TPU flags in XLA_FLAGS while
+# compiler_options reach the real TPU compiler.
+DEFAULT_TPU_COMPILER_OPTIONS = {
+    "xla_tpu_enable_latency_hiding_scheduler": True,
+}
+
+
+def tpu_compiler_options() -> dict | None:
+    """The default TPU compiler options, or None off-TPU (CPU XLA rejects
+    TPU-only flag names). Pass directly to ``jax.jit(compiler_options=)``."""
+    import jax
+
+    try:
+        if jax.default_backend() != "cpu":
+            return dict(DEFAULT_TPU_COMPILER_OPTIONS)
+    except Exception:
+        pass
+    return None
+
+
 def init_distributed(coordinator_address: str | None = None,
                      num_processes: int | None = None,
                      process_id: int | None = None) -> bool:

@@ -154,16 +154,28 @@ def apply_fn(
         if train and cfg.dropout > 0:
             rng, sub = jax.random.split(rng)
             h = dropout2d(h, cfg.dropout, sub, train=True)
-    flat = jnp.reshape(h, (h.shape[0], -1))
     if features:
-        return flat, new_state
+        return jnp.reshape(h, (h.shape[0], -1)), new_state
     w = params["fc"]["w"]
     if cfg.use_spectral_norm:
         w, new_state["fc"] = spectral_norm(w, state["fc"], train=train)
-    logits = linear(flat, w, params["fc"]["b"], compute_dtype=compute_dtype)
+    # The canonical flatten -> Linear(HWC, 1) head, computed as a VALID
+    # convolution over the feature map (the kernel is the SAME weight
+    # row-major-reshaped to (H, W, C, 1), so flat @ w == conv exactly, and
+    # gradients flow to the canonical (HWC, 1) param). Why: the flatten is a
+    # (N, 4, 4, 512) -> (N, 8192) re-tiling XLA must materialize BOTH ways
+    # around the dot in the train step (xprof r4: copy.736 + bitcasts,
+    # ~2 us/step), and the leaky-relu backward select could not fuse across
+    # it; the conv form keeps head + backward in the conv layout.
+    n, hh, ww, cc = h.shape
+    logits = conv2d(h, jnp.reshape(w, (hh, ww, cc, 1)), params["fc"]["b"],
+                    stride=1, padding=0,
+                    compute_dtype=compute_dtype).reshape(n, 1)
+    flat = None
     if cfg.num_classes > 0 and cfg.d_projection:
         if y is None:
             raise ValueError("conditional discriminator requires labels y")
+        flat = jnp.reshape(h, (n, -1))
         embed_w = params["class_embed"]
         if cfg.use_spectral_norm:
             embed_w, new_state["class_embed"] = spectral_norm(
@@ -175,6 +187,8 @@ def apply_fn(
     if aux:
         if "aux" not in params:
             raise ValueError("aux=True requires cfg.aux_classifier params")
+        if flat is None:
+            flat = jnp.reshape(h, (n, -1))
         aux_w = params["aux"]["w"]
         if cfg.use_spectral_norm:
             aux_w, new_state["aux"] = spectral_norm(

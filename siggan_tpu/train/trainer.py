@@ -29,6 +29,7 @@ from siggan_tpu.ckpt.manager import CheckpointManager
 from siggan_tpu.core import rng as rnglib
 from siggan_tpu.core.config import TrainConfig
 from siggan_tpu.core.state import TrainState, create_train_state
+from siggan_tpu.core.platform import tpu_compiler_options
 from siggan_tpu.data.loader import BatchLoader
 from siggan_tpu.parallel.mesh import make_mesh, replicate
 from siggan_tpu.train.collapse import ModeCollapseDetector
@@ -150,9 +151,11 @@ class GANTrainer:
             self._step_fn = jax.jit(
                 step_fn,
                 in_shardings=tuple(shardings),
-                donate_argnums=(0,))
+                donate_argnums=(0,),
+                compiler_options=tpu_compiler_options())
         else:
-            self._step_fn = jax.jit(step_fn, donate_argnums=(0,))
+            self._step_fn = jax.jit(step_fn, donate_argnums=(0,),
+                                    compiler_options=tpu_compiler_options())
         self.state: TrainState = state
         self._generate = jax.jit(make_eval_generate(cfg))
 

@@ -237,6 +237,7 @@ def _torch_lpips(alex_sd, lin_sd, x1, x2):
     return total
 
 
+@pytest.mark.slow  # full AlexNet build + torch/JAX dual forward (~16 s CPU)
 def test_lpips_converter_matches_independent_torch():
     alex_sd, lin_sd = _alex_sds()
     params = lpips.convert_torch_state_dict(alex_sd, lin_sd)
