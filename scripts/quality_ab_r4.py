@@ -45,9 +45,21 @@ def main() -> None:
         elif a == "--eval-only":
             eval_only = True
 
+    import dataclasses
+
     import numpy as np
 
     from siggan_tpu.core.config import ModelConfig, OptimConfig, TrainConfig
+
+    def filt(cls, **kw):
+        # Version-tolerant: arms also run in old-code worktrees whose
+        # TrainConfig lacks newer fields (e.g. rng_impl at cfca7ef).
+        names = {f.name for f in dataclasses.fields(cls)}
+        dropped = sorted(set(kw) - names)
+        if dropped:
+            print(f"({cls.__name__} lacks {dropped} in this code version)",
+                  flush=True)
+        return cls(**{k: v for k, v in kw.items() if k in names})
     from siggan_tpu.data.synthetic import generate_dataset
     from siggan_tpu.eval import lpips as lpips_mod
     from siggan_tpu.eval.evaluate import compute_metrics
@@ -55,10 +67,10 @@ def main() -> None:
     from siggan_tpu.infer.generate import load_session
 
     spec = VARIANTS[WINNER]
-    cfg = TrainConfig(
-        model=ModelConfig(use_spectral_norm=True,
+    cfg = filt(TrainConfig,
+        model=filt(ModelConfig, use_spectral_norm=True,
                           latent_dim=spec.get("latent", 100)),
-        optim=OptimConfig(d_lr=spec.get("d_lr", 1e-4), g_lr=2e-4,
+        optim=filt(OptimConfig, d_lr=spec.get("d_lr", 1e-4), g_lr=2e-4,
                           lr_schedule=spec.get("lr", "constant"),
                           lr_decay_start_frac=spec.get("decay_start", 0.5),
                           moment_dtype=moments),

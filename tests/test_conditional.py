@@ -95,6 +95,7 @@ def test_conditional_resident_and_trainer(tmp_path):
     assert float(np.abs(per_class - mixed).max()) > 0
 
 
+@pytest.mark.slow  # full bf16 train-step compile, ~17 s on the 1-core host
 def test_projection_gradient_reaches_class_params_bf16():
     """The projection-D term's gradient must flow into the class embedding
     AND back into G's class-conditioning params under bf16 compute — the

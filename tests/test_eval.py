@@ -142,13 +142,31 @@ def test_verifier_backbone_scorer(tmp_path):
     assert scorer.features(a).shape == (24, 512)
     assert scorer.fid(a, a) < 1e-6
     assert scorer.fid(a, b) >= 0
-    # structured vs noise separation on the trained-feature metric shape
+    assert feature_diversity(scorer, a[:12]) > 0
+
+
+@pytest.mark.slow  # two extra 512-dim FIDs (sqrtm) + dataset synthesis
+def test_verifier_backbone_noise_separation(tmp_path):
+    """Structured vs noise separation on the trained-feature metric shape."""
+    import jax
+    import numpy as np
+
+    from siggan_tpu.eval.fid import make_scorer
+    from siggan_tpu.verify.models import init_fn
+    from siggan_tpu.verify.train import save_verifier
+
+    params, bn = init_fn(jax.random.key(0), 128)
+    path = tmp_path / "verifier.pkl"
+    save_verifier({"params": params, "bn": bn, "epoch": 0,
+                   "val_accuracy": 1.0}, path)
+    scorer = make_scorer(f"verifier:{path}")
+    rs = np.random.RandomState(0)
+    a = (rs.rand(24, 64, 64, 1) * 2 - 1).astype(np.float32)
     from siggan_tpu.data.synthetic import generate_dataset
     sig = generate_dataset(48, 64, seed=1)
     same = scorer.fid(sig[:24], sig[24:])
     vs_noise = scorer.fid(sig[:24], a)
     assert vs_noise > same
-    assert feature_diversity(scorer, sig[:12]) > 0
 
 
 def test_verifier_backbone_resizes_128(tmp_path):

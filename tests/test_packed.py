@@ -233,19 +233,43 @@ def test_conv3_mc_as_matmul_cvjp_matches_autodiff():
                                    rtol=1e-4, atol=1e-5)
 
 
-def test_g_final_cvjp_flag_generator_gradients_match():
-    """Through the generator flag: packed-tail forward and full G backward
-    identical with and without g_final_cvjp."""
+def test_generator_rewrite_flags_default_on():
+    """Fast-lane guard: every graph-rewrite knob the gradient-equivalence
+    proof below covers is default-ON (a silent default flip once turned
+    the g_pack_pallas test into an on-vs-on no-op — round 3b/4)."""
+    cfg = ModelConfig()
+    for flag in ("g_final_cvjp", "g_pack_pallas", "g_convt_cvjp"):
+        assert getattr(cfg, flag), flag
+
+
+@pytest.mark.slow  # 4 full-G backward compiles, ~40 s on the 1-core host
+def test_generator_rewrite_flags_gradients_match():
+    """All default-ON generator graph-rewrite knobs (g_final_cvjp,
+    g_pack_pallas, g_convt_cvjp) must produce the identical packed-tail
+    forward and full-G backward as their canonical (flag-off)
+    constructions.  One shared all-flags-off baseline + one variant per
+    knob keeps this at 4 forward + 4 backward compiles (the three
+    separate-baseline tests it replaces compiled 12 at 2x the channel
+    width — 63 s of the old fast lane); the knobs are independent
+    code paths, so knob-vs-off equals the old pairwise comparisons."""
     from siggan_tpu.models import generator
 
-    # Baseline pinned OFF explicitly: the flag is default-ON, and a bare
-    # ModelConfig() would silently compare on-vs-on.
-    cfg_b = ModelConfig(image_size=64, base_features=32)
-    assert cfg_b.g_final_cvjp
-    cfg_a = dataclasses.replace(cfg_b, g_final_cvjp=False)
-    params, state = generator.init_fn(jax.random.key(3), cfg_a)
-    z = jnp.asarray(np.random.RandomState(3).randn(4, cfg_a.latent_dim)
+    cfg_on = ModelConfig(image_size=64, base_features=16)
+    # Guard: every knob is default-ON (a silent default flip would turn
+    # this into an on-vs-on no-op — that happened to g_pack_pallas's test
+    # between round 3b and round 4).
+    for flag in ("g_final_cvjp", "g_pack_pallas", "g_convt_cvjp"):
+        assert getattr(cfg_on, flag), flag
+    cfg_off = dataclasses.replace(cfg_on, g_final_cvjp=False,
+                                  g_pack_pallas=False, g_convt_cvjp=False)
+    params, state = generator.init_fn(jax.random.key(3), cfg_off)
+    z = jnp.asarray(np.random.RandomState(3).randn(4, cfg_off.latent_dim)
                     .astype(np.float32))
+
+    def fwd(cfg):
+        img, _ = generator.apply_fn(params, state, z, cfg, train=True,
+                                    packed_output=True)
+        return img
 
     def gloss(cfg):
         def f(p):
@@ -254,18 +278,19 @@ def test_g_final_cvjp_flag_generator_gradients_match():
             return jnp.sum(jnp.tanh(img * 0.5))
         return f
 
-    ya, _ = generator.apply_fn(params, state, z, cfg_a, train=True,
-                               packed_output=True)
-    yb, _ = generator.apply_fn(params, state, z, cfg_b, train=True,
-                               packed_output=True)
-    np.testing.assert_allclose(np.asarray(yb), np.asarray(ya),
-                               rtol=1e-5, atol=1e-5)
-    ga = jax.grad(gloss(cfg_a))(params)
-    gb = jax.grad(gloss(cfg_b))(params)
-    for a, g in zip(jax.tree_util.tree_leaves(ga),
-                    jax.tree_util.tree_leaves(gb)):
-        np.testing.assert_allclose(np.asarray(g), np.asarray(a),
-                                   rtol=1e-4, atol=1e-5)
+    y_off = fwd(cfg_off)
+    g_off = jax.grad(gloss(cfg_off))(params)
+    tols = {"g_final_cvjp": (1e-4, 1e-5), "g_pack_pallas": (1e-5, 1e-6),
+            "g_convt_cvjp": (1e-4, 1e-5)}
+    for flag, (rtol, atol) in tols.items():
+        cfg = dataclasses.replace(cfg_off, **{flag: True})
+        np.testing.assert_allclose(np.asarray(fwd(cfg)), np.asarray(y_off),
+                                   rtol=1e-5, atol=1e-5, err_msg=flag)
+        g = jax.grad(gloss(cfg))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g_off),
+                        jax.tree_util.tree_leaves(g)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=rtol, atol=atol, err_msg=flag)
 
 
 @pytest.mark.parametrize("cdt", [None, "bfloat16"])
@@ -303,77 +328,6 @@ def test_convt_adjoint_dgrad_matches_autodiff(cdt):
         np.testing.assert_allclose(np.asarray(g, np.float32),
                                    np.asarray(a, np.float32),
                                    rtol=rtol, atol=atol)
-
-
-def test_g_convt_cvjp_flag_generator_gradients_match():
-    """Through the generator flag: packed-tail forward and full G backward
-    identical with and without g_convt_cvjp."""
-    from siggan_tpu.models import generator
-
-    # Baseline pinned OFF explicitly: the flag is default-ON, and a bare
-    # ModelConfig() would silently compare on-vs-on.
-    cfg_b = ModelConfig(image_size=64, base_features=32)
-    assert cfg_b.g_convt_cvjp
-    cfg_a = dataclasses.replace(cfg_b, g_convt_cvjp=False)
-    params, state = generator.init_fn(jax.random.key(7), cfg_a)
-    z = jnp.asarray(np.random.RandomState(7).randn(4, cfg_a.latent_dim)
-                    .astype(np.float32))
-
-    def gloss(cfg):
-        def f(p):
-            img, _ = generator.apply_fn(p, state, z, cfg, train=True,
-                                        packed_output=True)
-            return jnp.sum(jnp.tanh(img * 0.5))
-        return f
-
-    ya, _ = generator.apply_fn(params, state, z, cfg_a, train=True,
-                               packed_output=True)
-    yb, _ = generator.apply_fn(params, state, z, cfg_b, train=True,
-                               packed_output=True)
-    np.testing.assert_allclose(np.asarray(yb), np.asarray(ya),
-                               rtol=1e-6, atol=1e-6)
-    ga = jax.grad(gloss(cfg_a))(params)
-    gb = jax.grad(gloss(cfg_b))(params)
-    for a, g in zip(jax.tree_util.tree_leaves(ga),
-                    jax.tree_util.tree_leaves(gb)):
-        np.testing.assert_allclose(np.asarray(g), np.asarray(a),
-                                   rtol=1e-4, atol=1e-5)
-
-
-def test_g_pack_pallas_flag_generator_matches():
-    """One-launch Pallas tail pack (interpret mode on CPU): forward and full
-    G backward identical to the slice/concat constructors."""
-    from siggan_tpu.models import generator
-
-    # Baseline pinned OFF explicitly: the flag is default-ON, and a bare
-    # ModelConfig() would silently compare on-vs-on (this test DID exactly
-    # that between the round-3b default flip and round 4).
-    cfg_b = ModelConfig(image_size=64, base_features=32)
-    assert cfg_b.g_pack_pallas
-    cfg_a = dataclasses.replace(cfg_b, g_pack_pallas=False)
-    params, state = generator.init_fn(jax.random.key(5), cfg_a)
-    z = jnp.asarray(np.random.RandomState(5).randn(4, cfg_a.latent_dim)
-                    .astype(np.float32))
-
-    def gloss(cfg):
-        def f(p):
-            img, _ = generator.apply_fn(p, state, z, cfg, train=True,
-                                        packed_output=True)
-            return jnp.sum(jnp.tanh(img * 0.5))
-        return f
-
-    ya, _ = generator.apply_fn(params, state, z, cfg_a, train=True,
-                               packed_output=True)
-    yb, _ = generator.apply_fn(params, state, z, cfg_b, train=True,
-                               packed_output=True)
-    np.testing.assert_allclose(np.asarray(yb), np.asarray(ya),
-                               rtol=1e-6, atol=1e-6)
-    ga = jax.grad(gloss(cfg_a))(params)
-    gb = jax.grad(gloss(cfg_b))(params)
-    for a, g in zip(jax.tree_util.tree_leaves(ga),
-                    jax.tree_util.tree_leaves(gb)):
-        np.testing.assert_allclose(np.asarray(g), np.asarray(a),
-                                   rtol=1e-5, atol=1e-6)
 
 
 @pytest.mark.slow
