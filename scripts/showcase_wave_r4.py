@@ -1,0 +1,148 @@
+"""Round-4 showcase recipe wave (VERDICT r3 #5): beat training-luck, not ride it.
+
+The round-4 attribution (BASELINE.md "Round-4 quality attribution") showed
+the 64px showcase recipe's FID has ~±50-70 training-luck std at a fixed
+recipe (266 / ~300 / 320 / 366 / 408 across algebraically-equivalent runs).
+Clearing "every eval seed <= 2x floor" robustly therefore needs a recipe
+whose MEAN is better, not a lucky draw.  This wave searches the levers
+round 3 never tried, each under the SHIPPED defaults (rbg PRNG, bf16 Adam
+moments, all graph rewrites on):
+
+  ema99    EMA(0.99) shadow eval — re-tested under the DiffAugment recipe
+           (the round-3 "EMA hurts" A/B predates DiffAugment and the
+           oscillating trainer-FID regime)
+  wide512  base_features=512 (DCGAN-scale stem; round-3 search never
+           varied capacity)
+  long1200 1200 epochs, linear decay over the full run
+  ncrit2   n_critic=2 (D twice per G step — classic stabilizer)
+
+All arms keep the round-3 winner's core (8192 imgs, TTUR, DiffAugment
+translation+cutout, z=200, linear decay) and use fid_interval=5 (120
+best-checkpoint candidates instead of 60 — selection on the noisy
+trainer-FID trajectory is part of the recipe).  Eval protocol identical to
+round 3 (3 generation seeds x 2048 samples vs 2048 real, random-init
+backbone).
+
+Usage: python scripts/showcase_wave_r4.py --arm=wide512 [--seed=42]
+       python scripts/showcase_wave_r4.py --arm=wide512 --eval-only
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+ARMS = {
+    # control = the recorded round-3 winner, re-run under shipped defaults
+    "control": dict(),
+    "ema99": dict(ema=0.99),
+    "ema999": dict(ema=0.999),
+    "wide512": dict(base=512),
+    "long1200": dict(epochs=1200),
+    "ncrit2": dict(n_critic=2),
+    # combination arms (added after the first wave's results)
+    "wide512_long": dict(base=512, epochs=1200),
+    "wide512_ema99": dict(base=512, ema=0.99),
+    "wide384_long": dict(base=384, epochs=1200),
+    "wide512_long1800": dict(base=512, epochs=1800),
+    "wide512_long_nc2": dict(base=512, epochs=1200, n_critic=2),
+    "wide512_long_tf32": dict(base=512, epochs=1200),
+    "wide640_long": dict(base=640, epochs=1200),
+    "wide512_long16k": dict(base=512, epochs=1200, n=16384),
+}
+
+
+def main() -> None:
+    arm, seed, eval_only = "control", 42, False
+    for a in sys.argv[1:]:
+        if a.startswith("--arm="):
+            arm = a.split("=", 1)[1]
+        elif a.startswith("--seed="):
+            seed = int(a.split("=", 1)[1])
+        elif a == "--eval-only":
+            eval_only = True
+    spec = ARMS[arm]
+    run = Path(f"/tmp/wave_r4_{arm}_s{seed}")
+
+    import numpy as np
+
+    from siggan_tpu.core.config import ModelConfig, OptimConfig, TrainConfig
+    from siggan_tpu.data.synthetic import generate_dataset
+    from siggan_tpu.eval import lpips as lpips_mod
+    from siggan_tpu.eval.evaluate import compute_metrics
+    from siggan_tpu.eval.fid import FIDScorer
+    from siggan_tpu.infer.generate import load_session
+
+    rng_impl = ("threefry2x32" if arm.endswith("_tf32") else "rbg")
+    moments = "float32" if arm.endswith("_tf32") else "bfloat16"
+    cfg = TrainConfig(
+        model=ModelConfig(use_spectral_norm=True, latent_dim=200,
+                          base_features=spec.get("base", 256)),
+        optim=OptimConfig(d_lr=1e-4, g_lr=2e-4, lr_schedule="linear",
+                          lr_decay_start_frac=0.5, moment_dtype=moments),
+        ema_decay=spec.get("ema", 0.0),
+        diffaugment="translation,cutout",
+        augment_bulk=True,
+        n_critic=spec.get("n_critic", 1),
+        batch_size=64,
+        epochs=spec.get("epochs", 600),
+        seed=seed, rng_impl=rng_impl,
+        fid_interval=5, fid_samples=1024,
+        sample_interval=0, checkpoint_interval=5,
+        checkpoint_dir=str(run / "checkpoints"),
+        sample_dir=str(run / "samples"),
+        log_dir=str(run / "logs"),
+        hflip=False,
+    )
+    n_img = spec.get("n", 8192)
+    if not eval_only:
+        from siggan_tpu.train.trainer import GANTrainer
+        images = generate_dataset(n_img, 64, seed=7)
+        print(f"ARM {arm} seed={seed}: {spec} rng={rng_impl} "
+              f"moments={moments}", flush=True)
+        t0 = time.time()
+        tr = GANTrainer(cfg, images, experiment_name=f"wave_r4_{arm}_s{seed}")
+        tr.train()
+        avail = tr.ckpt.available()
+        bf = avail.get("best_fid")
+        print(f"trained in {time.time() - t0:.0f}s; best ckpt "
+              f"{avail.get('best')} trainer-fid="
+              f"{'n/a' if bf is None else f'{bf:.1f}'}", flush=True)
+
+    real = generate_dataset(2048, 64, seed=7)
+    scorer = FIDScorer()
+    lpips_params = lpips_mod.init_params()
+    rs = np.random.RandomState(0)
+    half = rs.permutation(len(real))
+    floor = scorer.fid(real[half[:1024]], real[half[1024:]])
+    session = load_session(str(run / "checkpoints"), "best")
+    fids, lps = [], []
+    for es in (11, 22, 33):
+        fake = session.sample(2048, seed=es, batch_size=256)
+        m = compute_metrics(real, fake, scorer=scorer,
+                            lpips_params=lpips_params,
+                            lpips_backbone="random-init")
+        fids.append(float(m["fid"]))
+        lps.append(float(m.get("lpips_diversity", float("nan"))))
+        print(f"eval seed {es}: FID {fids[-1]:.1f}", flush=True)
+    report = {
+        "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "arm": arm, "spec": spec, "train_seed": seed,
+        "rng_impl": rng_impl, "moment_dtype": moments,
+        "fid_real_vs_real_floor": floor,
+        "fid_mean": float(np.mean(fids)), "fid_std": float(np.std(fids)),
+        "fid_per_seed": fids, "fid_worst": float(max(fids)),
+        "worst_x_floor": float(max(fids) / floor),
+        "lpips_diversity_mean": float(np.mean(lps)),
+    }
+    (run / "wave_report.json").write_text(json.dumps(report, indent=2))
+    print(f"ARM {arm} s{seed}: FID {report['fid_mean']:.1f}"
+          f"±{report['fid_std']:.1f}, worst {max(fids):.1f} = "
+          f"{max(fids) / floor:.2f}x floor", flush=True)
+
+
+if __name__ == "__main__":
+    main()
