@@ -332,7 +332,10 @@ class GANTrainer:
                         epoch + 1) % cfg.sample_interval == 0:
                     self._sample_grid(epoch + 1)
                 g_avg = avgs.get("g_loss", float("inf"))
-                if (epoch + 1) % cfg.checkpoint_interval == 0 or stopped:
+                # checkpoint_interval=0: no periodic checkpoints (the
+                # final/stop-file save below still happens).
+                if (cfg.checkpoint_interval > 0
+                        and (epoch + 1) % cfg.checkpoint_interval == 0) or stopped:
                     self._save_checkpoint(epoch, g_avg)
                 if stopped:
                     break

@@ -159,6 +159,17 @@ def test_trainer_end_to_end_with_resume_and_stop(tmp_path):
     assert len(tr3.logger.metrics) == 0  # stopped before first epoch
 
 
+def test_checkpoint_interval_zero_saves_only_final(tmp_path):
+    # Regression: checkpoint_interval=0 used to raise ZeroDivisionError at
+    # the periodic-save modulo; it means "final checkpoint only".
+    cfg = _cfg(tmp_path, checkpoint_interval=0)
+    tr = GANTrainer(cfg, _images(), use_mesh=False)
+    tr.train(epochs=2)
+    idx = tr.ckpt.available()
+    assert idx["latest"] == 1          # final save still happened
+    assert idx["epochs"] == [1]        # but no per-epoch periodic saves
+
+
 @pytest.mark.slow
 def test_trainer_on_mesh(tmp_path, devices):
     cfg = _cfg(tmp_path, batch_size=16)
