@@ -7,11 +7,16 @@ Scores ONE trained checkpoint under two FID protocols:
         protocol noise (same checkpoint, same real set, different z).
   P8192: real = the full 8192-image training set, fake = 8192/seed,
         floor = real 4096-vs-4096 split.  4x the samples shrinks both the
-        random-backbone FID bias and the per-seed variance — and the floor
-        is computed at the SAME per-side sample count as the comparison,
-        unlike P2048 (whose 1024v1024 floor is biased HIGH relative to its
-        2048v2048 comparisons, making the reported x-floor ratios
-        conservative).
+        random-backbone FID bias and the per-seed variance.
+
+MEASURED OUTCOME (docs/examples/eval_protocol.json, ab_old_s42 "best"):
+per-seed std 18.7 -> 5.2 (the spread IS protocol noise), but the floor
+collapses 134.7 -> 37.5 while fake-vs-real only drops 266 -> 207, so the
+x-floor ratio balloons 1.98x -> 5.5x.  A small-sample floor is biased
+HIGH, which DEFLATES the reported ratio — P2048's 1024v1024 floor under
+2048v2048 comparisons was flattering, not conservative.  Ratio-to-floor
+claims are protocol-definition-dependent on the random-init backbone;
+report.json discloses this and BASELINE.md carries the analysis.
 
 Usage: python scripts/eval_protocol_r4.py --ckpt=/tmp/ab_old_s42/checkpoints
 """
