@@ -22,9 +22,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Host-local persistent compilation cache: XLA compiles dominate the suite's
-# wall time; warm reruns drop from minutes to seconds. CPU backend only (the
-# TPU cache pathology documented in core/platform.py) and rooted next to the
-# suite so it is compiled on THIS machine.
+# wall time. CPU backend only (the TPU cache pathology documented in
+# core/platform.py) and rooted next to the suite so it is compiled on THIS
+# machine. Caveat (measured round 4): XLA:CPU's AOT loader rejects its own
+# entries for the big train-step graphs on hosts whose CPUID lacks the
+# prefer-no-scatter/gather pseudo-features stamped at compile time, so those
+# recompile every run — the cache only pays for the many small graphs, and
+# the fast lane's cold time is compile-bound either way (see STATUS.md).
 _cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
 os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
