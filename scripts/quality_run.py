@@ -132,6 +132,26 @@ def evaluate():
         lps.append(float(metrics.get("lpips_diversity", float("nan"))))
         print(f"seed {seed}: FID {fids[-1]:.1f} LPIPS {lps[-1]:.4f}",
               flush=True)
+    # Bias-reduced P8192 protocol alongside the historical P2048 (round-4
+    # eval-protocol analysis, docs/examples/eval_protocol.json: the P2048
+    # floor is mostly finite-sample bias; 4x samples cut eval-seed std
+    # 18.7 -> 5.2). P2048 stays the headline for cross-round comparability.
+    p8192 = None
+    if "--skip-p8192" not in sys.argv:
+        real8 = generate_dataset(8192, 64, seed=7)
+        half8 = rs.permutation(len(real8))
+        floor8 = scorer.fid(real8[half8[:4096]], real8[half8[4096:]])
+        fids8 = []
+        for seed in (11, 22, 33):
+            fake8 = session.sample(8192, seed=seed, batch_size=256)
+            fids8.append(float(scorer.fid(real8, fake8)))
+            print(f"P8192 seed {seed}: FID {fids8[-1]:.1f}", flush=True)
+        p8192 = {
+            "n_per_side": 8192, "floor": floor8,
+            "fid_per_seed": fids8, "fid_mean": float(np.mean(fids8)),
+            "fid_std": float(np.std(fids8)),
+            "worst_x_floor": float(max(fids8) / floor8),
+        }
     # Re-derive the winner here (not the N_IMAGES global, which only
     # train() updates) so --eval-only reports the dataset size the winning
     # recipe actually trained on.
@@ -147,6 +167,7 @@ def evaluate():
         "fid_mean": float(np.mean(fids)), "fid_std": float(np.std(fids)),
         "fid_per_seed": fids,
         "lpips_diversity_mean": float(np.mean(lps)),
+        "protocol_p8192": p8192,
         "metrics": metrics,
     }
     (out / "report.json").write_text(json.dumps(report, indent=2))
