@@ -161,9 +161,23 @@ def test_trainer_end_to_end_with_resume_and_stop(tmp_path):
 
 def test_checkpoint_interval_zero_saves_only_final(tmp_path):
     # Regression: checkpoint_interval=0 used to raise ZeroDivisionError at
-    # the periodic-save modulo; it means "final checkpoint only".
+    # the periodic-save modulo; it means "final checkpoint only". The bug
+    # lives in the host-side epoch loop, so the train step is stubbed (a
+    # no-compile fake with the real metric contract) and the loop runs the
+    # REAL scheduling + Orbax saves — the full-compile e2e train path is
+    # covered by the slow-lane trainer tests.
     cfg = _cfg(tmp_path, checkpoint_interval=0)
     tr = GANTrainer(cfg, _images(), use_mesh=False)
+    k = tr.scan_steps
+
+    def fake_step(state, images, labels=None):
+        zeros = jnp.zeros((k,), jnp.float32)
+        metrics = {name: zeros for name in (
+            "d_loss", "g_loss", "d_real_mean", "d_fake_mean", "d_accuracy")}
+        return state.replace(step=state.step + k), metrics
+
+    tr._step_fn = fake_step
+    tr._sample_grid = lambda *a, **kw: None
     tr.train(epochs=2)
     idx = tr.ckpt.available()
     assert idx["latest"] == 1          # final save still happened
