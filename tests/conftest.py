@@ -32,7 +32,12 @@ jax.config.update("jax_platforms", "cpu")
 _cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
 os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Threshold 0: the suite's wall time is dominated by hundreds of SMALL op
+# compiles (unjitted applies, init fns — ~50-100 ms each, measured 80 ops /
+# 7.4 s in create_train_state alone), which a 0.5 s threshold exempts from
+# the cache entirely. Caching them all trades ~MBs of gitignored disk for
+# the bulk of the lane's compile time on warm runs.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import pytest  # noqa: E402
