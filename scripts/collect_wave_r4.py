@@ -17,10 +17,20 @@ OUT = Path(__file__).resolve().parents[1] / "docs" / "examples" / "wave_r4.json"
 
 
 def main() -> None:
-    reports = []
+    # Merge with the already-published artifact: /tmp is per-host scratch,
+    # so arms measured on an earlier host live only in docs/examples.
+    by_key = {}
+    if OUT.exists():
+        for r in json.loads(OUT.read_text()).get("arms", []):
+            by_key[(r["arm"], r.get("train_seed"))] = r
     for p in sorted(glob.glob("/tmp/wave_r4_*/wave_report.json")):
         with open(p) as f:
-            reports.append(json.load(f))
+            r = json.load(f)
+        key = (r["arm"], r.get("train_seed"))
+        if key not in by_key or r.get("timestamp", "") >= \
+                by_key[key].get("timestamp", ""):
+            by_key[key] = r
+    reports = list(by_key.values())
     if not reports:
         print("no wave reports found under /tmp/wave_r4_*/")
         return

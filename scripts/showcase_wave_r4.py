@@ -52,6 +52,11 @@ ARMS = {
     "wide512_long_tf32": dict(base=512, epochs=1200),
     "wide640_long": dict(base=640, epochs=1200),
     "wide512_long16k": dict(base=512, epochs=1200, n=16384),
+    # round-5 mean-cutters: data scale at base-256 (wide512's failure was
+    # diagnosed as data-starved — feed the BASE model instead), and the
+    # never-measured long schedule at base capacity
+    "n16k": dict(n=16384),
+    "n16k_long": dict(n=16384, epochs=1200),
 }
 
 

@@ -1,7 +1,8 @@
 """Capture a jax.profiler trace of the fused train step and dump the top
 HLO ops by self-time (via xprof's hlo_stats converter).
 
-Usage: python scripts/trace_step.py [trace_dir]
+Usage: python scripts/trace_step.py [trace_dir] [--image-size=128]
+       [--batch=64] [--sn] [--k=512]
 """
 from __future__ import annotations
 
@@ -14,20 +15,23 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def capture(trace_dir: str) -> None:
+def capture(trace_dir: str, image_size: int = 64, batch: int = 64,
+            sn: bool = False, k: int = 512) -> None:
     import jax
     import numpy as np
 
-    from siggan_tpu.core.config import TrainConfig
+    from siggan_tpu.core.config import ModelConfig, TrainConfig
     from siggan_tpu.core.state import create_train_state
     from siggan_tpu.train.train_step import make_resident_multi_step
 
-    cfg = TrainConfig()
+    cfg = TrainConfig(
+        model=ModelConfig(image_size=image_size, use_spectral_norm=sn),
+        batch_size=batch)
     state = create_train_state(cfg)
     rs = np.random.RandomState(0)
     images = jax.numpy.asarray(
-        (rs.rand(2048, 64, 64, 1) * 2 - 1).astype(np.float32))
-    K = 512  # match bench.py's scan window
+        (rs.rand(2048, image_size, image_size, 1) * 2 - 1).astype(np.float32))
+    K = k  # bench.py uses 512 at 64px
     step_fn, _ = make_resident_multi_step(cfg, images.shape[0], K)
     step = jax.jit(step_fn, donate_argnums=(0,))
     state, m = step(state, images)
@@ -93,8 +97,20 @@ def report(trace_dir: str, top: int = 40) -> None:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--report-only"]
+    size, batch, sn, k = 64, 64, False, 512
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--image-size="):
+            size = int(a.split("=", 1)[1])
+        elif a.startswith("--batch="):
+            batch = int(a.split("=", 1)[1])
+        elif a.startswith("--k="):
+            k = int(a.split("=", 1)[1])
+        elif a == "--sn":
+            sn = True
+        elif a != "--report-only":
+            args.append(a)
     d = args[0] if args else "/tmp/trace_step"
     if "--report-only" not in sys.argv:
-        capture(d)
+        capture(d, image_size=size, batch=batch, sn=sn, k=k)
     report(d)

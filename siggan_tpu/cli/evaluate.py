@@ -126,12 +126,17 @@ def main(argv=None) -> int:
 
 def _load_inception_weights(path: str):
     from siggan_tpu.eval.inception import convert_torch_state_dict
+    from siggan_tpu.eval.manifests import (INCEPTION_V3_REQUIRED,
+                                           INCEPTION_V3_SD, check_state_dict)
     if path.endswith(".npz"):
         import numpy as np
-        return convert_torch_state_dict(dict(np.load(path)))
-    import torch
-    return convert_torch_state_dict(torch.load(path, map_location="cpu",
-                                               weights_only=True))
+        sd = dict(np.load(path))
+    else:
+        import torch
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    check_state_dict(sd, INCEPTION_V3_SD, required=INCEPTION_V3_REQUIRED,
+                     label=path)
+    return convert_torch_state_dict(sd)
 
 
 if __name__ == "__main__":

@@ -91,7 +91,14 @@ def make_scorer(spec: str = "random-init", batch_size: int = 32) -> FIDScorer:
         import torch
 
         from siggan_tpu.eval.inception import convert_torch_state_dict
+        from siggan_tpu.eval.manifests import (INCEPTION_V3_REQUIRED,
+                                               INCEPTION_V3_SD,
+                                               check_state_dict)
         sd = torch.load(path, map_location="cpu", weights_only=True)
+        # Fail loudly (readable key/shape diff) on a wrong/truncated file
+        # before the converter touches it — see eval/manifests.py.
+        check_state_dict(sd, INCEPTION_V3_SD, required=INCEPTION_V3_REQUIRED,
+                         label=f"torchvision:{path}")
         return FIDScorer(params=convert_torch_state_dict(sd),
                          batch_size=batch_size)
     if kind == "verifier":

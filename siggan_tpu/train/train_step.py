@@ -59,6 +59,14 @@ def _ce_mean(logits: jax.Array, y: jax.Array) -> jax.Array:
         logits.astype(jnp.float32), y))
 
 
+# Metric keys every train-step variant (fused / shared-fakes / resident
+# scan) is guaranteed to emit — the host loop (trainer.py) and any step
+# stub in tests must stay within this contract.  The resident scan stacks
+# each of these to shape (K,).
+STEP_METRIC_KEYS = ("d_loss", "g_loss", "d_real_mean", "d_fake_mean",
+                    "d_acc_real", "d_acc_fake", "d_on_g_mean", "d_accuracy")
+
+
 def _aux_on(cfg: TrainConfig) -> bool:
     return (cfg.model.num_classes > 0 and cfg.model.aux_classifier
             and cfg.aux_weight > 0)

@@ -168,12 +168,17 @@ def test_checkpoint_interval_zero_saves_only_final(tmp_path):
     # covered by the slow-lane trainer tests.
     cfg = _cfg(tmp_path, checkpoint_interval=0)
     tr = GANTrainer(cfg, _images(), use_mesh=False)
+    # The stub below implements the RESIDENT step contract (metrics stacked
+    # to (K,), STEP_METRIC_KEYS); fail explicitly if the trainer ever takes
+    # the non-resident path here instead of silently diverging.
+    assert tr.resident, "stub assumes the resident scan path"
     k = tr.scan_steps
+
+    from siggan_tpu.train.train_step import STEP_METRIC_KEYS
 
     def fake_step(state, images, labels=None):
         zeros = jnp.zeros((k,), jnp.float32)
-        metrics = {name: zeros for name in (
-            "d_loss", "g_loss", "d_real_mean", "d_fake_mean", "d_accuracy")}
+        metrics = {name: zeros for name in STEP_METRIC_KEYS}
         return state.replace(step=state.step + k), metrics
 
     tr._step_fn = fake_step

@@ -36,7 +36,10 @@ def test_train_step_runs_and_updates():
     batch = _fake_batch()
     new_state, metrics = step(state, batch)
     assert int(new_state.step) == 1
-    for k in ["d_loss", "g_loss", "d_real_mean", "d_fake_mean", "d_accuracy"]:
+    # The documented metric contract (train_step.STEP_METRIC_KEYS) — test
+    # stubs and the host loop rely on exactly this set being present.
+    from siggan_tpu.train.train_step import STEP_METRIC_KEYS
+    for k in STEP_METRIC_KEYS:
         assert k in metrics and jnp.isfinite(metrics[k])
     # params actually moved
     g0 = jax.tree_util.tree_leaves(state.g_params)[0]

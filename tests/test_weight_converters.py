@@ -257,3 +257,158 @@ def test_lpips_distance_zero_for_identical_inputs():
     params = lpips.convert_torch_state_dict(alex_sd, lin_sd)
     x = jnp.asarray(_rs(5).rand(1, 64, 64, 3).astype(np.float32))
     assert float(np.abs(np.asarray(lpips.distance(params, x, x)))) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Pinned real-checkpoint manifests (VERDICT r4 #8): the converters are
+# tested against the COMPLETE key/shape manifest of the published files
+# the reference loads — not just the hand-built fixtures above — so a
+# future weight drop is load-and-go.
+# ---------------------------------------------------------------------------
+
+from siggan_tpu.eval import manifests  # noqa: E402
+
+
+def test_inception_manifest_pinned_counts():
+    """Tripwires against manifest drift: torchvision inception_v3 has 96
+    BasicConv2d modules (5 stem + 3x7 InceptionA + 4 InceptionB + 4x10
+    InceptionC + 2 aux convs + 6 InceptionD + 2x9 InceptionE), 6 entries
+    each, plus fc/AuxLogits.fc weight+bias = 580 keys; 27.16M params."""
+    m = manifests.INCEPTION_V3_SD
+    assert len(m) == 580
+    convs = [k for k in m if k.endswith(".conv.weight")]
+    assert len(convs) == 96
+    # Parameter count (weights + biases, excluding BN buffers/counters)
+    # must equal torchvision's documented inception_v3 total — an
+    # independent cross-check that every shape in the manifest is real.
+    n_params = sum(int(np.prod(s)) for k, s in m.items()
+                   if not k.endswith("num_batches_tracked")
+                   and "running_" not in k)
+    assert n_params == 27_161_264
+    # The extractor-required subset: 94 convs (aux stripped), 5 tensors each.
+    req = manifests.INCEPTION_V3_REQUIRED
+    assert len(req) == 94 * 5
+    assert not any(k.startswith(("AuxLogits.", "fc.")) for k in req)
+
+
+def test_inception_manifest_matches_spec():
+    """Every conv the JAX forward declares (inception._spec) exists in the
+    manifest with the transposed shape — catches typos on either side."""
+    tv = {  # ours -> torchvision branch names (mirror of the converter map)
+        "b1x1": "branch1x1", "b5x5_1": "branch5x5_1", "b5x5_2": "branch5x5_2",
+        "b3x3dbl_1": "branch3x3dbl_1", "b3x3dbl_2": "branch3x3dbl_2",
+        "b3x3dbl_3": "branch3x3dbl_3", "b3x3dbl_3a": "branch3x3dbl_3a",
+        "b3x3dbl_3b": "branch3x3dbl_3b", "bpool": "branch_pool",
+        "b3x3": "branch3x3", "b3x3_1": "branch3x3_1", "b3x3_2": "branch3x3_2",
+        "b3x3_2a": "branch3x3_2a", "b3x3_2b": "branch3x3_2b",
+        "b7x7_1": "branch7x7_1", "b7x7_2": "branch7x7_2",
+        "b7x7_3": "branch7x7_3",
+        "b7x7dbl_1": "branch7x7dbl_1", "b7x7dbl_2": "branch7x7dbl_2",
+        "b7x7dbl_3": "branch7x7dbl_3", "b7x7dbl_4": "branch7x7dbl_4",
+        "b7x7dbl_5": "branch7x7dbl_5",
+        "b7x7x3_1": "branch7x7x3_1", "b7x7x3_2": "branch7x7x3_2",
+        "b7x7x3_3": "branch7x7x3_3", "b7x7x3_4": "branch7x7x3_4",
+    }
+    m = manifests.INCEPTION_V3_SD
+    n_checked = 0
+    for name, _, shapes in inception._spec():
+        for pname, (kh, kw, cin, cout) in shapes.items():
+            key = (f"{name}.conv.weight" if pname == ""
+                   else f"{name}.{tv[pname]}.conv.weight")
+            assert m[key] == (cout, cin, kh, kw), (key, m[key])
+            assert m[key.replace("conv.weight", "bn.running_var")] == (cout,)
+            n_checked += 1
+    assert n_checked == 94
+
+
+def test_inception_converter_consumes_exact_manifest():
+    """The converter, fed a synthetic sd with EXACTLY the published file's
+    keys/shapes, must (a) succeed, (b) read every required key and nothing
+    outside the manifest, (c) ignore the aux/fc heads and BN counters."""
+    sd = manifests.synthetic_state_dict(manifests.INCEPTION_V3_SD, seed=10)
+    read = set()
+
+    class Tracking(dict):
+        def __getitem__(self, k):
+            read.add(k)
+            return super().__getitem__(k)
+
+    params = inception.convert_torch_state_dict(Tracking(sd))
+    assert read == set(manifests.INCEPTION_V3_REQUIRED)
+    # Values land unchanged (weights transposed OIHW->HWIO, BN verbatim).
+    w = np.asarray(params["Mixed_7c"]["b3x3dbl_2"]["w"])
+    np.testing.assert_array_equal(
+        w, sd["Mixed_7c.branch3x3dbl_2.conv.weight"].transpose(2, 3, 1, 0))
+    np.testing.assert_array_equal(
+        np.asarray(params["Mixed_6e"]["b7x7dbl_5"]["mean"]),
+        sd["Mixed_6e.branch7x7dbl_5.bn.running_mean"])
+    # And the converted tree drives the forward.
+    x = jnp.asarray(_rs(6).rand(1, 75, 75, 3).astype(np.float32) * 2 - 1)
+    feats = np.asarray(inception.apply(params, inception.prepare_images(x)))
+    assert feats.shape == (1, inception.FEATURE_DIM)
+    assert np.isfinite(feats).all()
+
+
+def test_check_state_dict_diffs():
+    m = manifests.INCEPTION_V3_SD
+    req = manifests.INCEPTION_V3_REQUIRED
+    sd = manifests.synthetic_state_dict(m, seed=11)
+    manifests.check_state_dict(sd, m, required=req)  # full file: ok
+    # fc/aux-stripped export: still ok (reference strips fc, metrics.py:29).
+    trimmed = {k: v for k, v in sd.items()
+               if not k.startswith(("AuxLogits.", "fc."))}
+    manifests.check_state_dict(trimmed, m, required=req)
+    # A required key missing -> loud, readable error.
+    broken = dict(sd)
+    del broken["Mixed_5b.branch1x1.conv.weight"]
+    with pytest.raises(ValueError, match="required keys missing"):
+        manifests.check_state_dict(broken, m, required=req)
+    # A wrong shape (e.g. a different model's fc) -> loud error.
+    wrong = dict(sd)
+    wrong["Conv2d_1a_3x3.conv.weight"] = np.zeros((32, 1, 3, 3), np.float32)
+    with pytest.raises(ValueError, match="wrong shapes"):
+        manifests.check_state_dict(wrong, m, required=req)
+
+
+def test_lpips_manifests_and_converter():
+    """AlexNet + LPIPS-lin manifests: pinned counts, converter consumes the
+    features.* subset, tolerates the classifier keys in the real file, and
+    the lin tap widths are the published relu1..5 channel widths."""
+    am, lm = manifests.ALEXNET_SD, manifests.LPIPS_ALEX_LIN_SD
+    assert len(am) == 16 and len(lm) == 5
+    n_params = sum(int(np.prod(s)) for s in am.values())
+    assert n_params == 61_100_840  # torchvision alexnet total
+    assert [s[1] for s in lm.values()] == [64, 192, 384, 256, 256]
+    alex_sd = manifests.synthetic_state_dict(am, seed=12)
+    lin_sd = manifests.synthetic_state_dict(lm, seed=13)
+    params = lpips.convert_torch_state_dict(alex_sd, lin_sd)
+    for p, (k, cin, cout, _, _, _) in zip(params["convs"], lpips._ALEX):
+        assert np.asarray(p["w"]).shape == (k, k, cin, cout)
+    for lin, (_, c, _, _) in zip(params["lins"], lm.values()):
+        assert np.asarray(lin).shape == (c,)
+        assert (np.asarray(lin) >= 0).all()  # synthetic keeps lins valid
+    x = jnp.asarray(_rs(7).rand(2, 64, 64, 3).astype(np.float32) * 2 - 1)
+    d = np.asarray(lpips.distance(params, x, x[::-1]))
+    assert d.shape == (2,) and np.isfinite(d).all()
+
+
+def test_make_scorer_rejects_wrong_checkpoint(tmp_path):
+    """fid.make_scorer('torchvision:<path>') fails loudly (manifest diff,
+    not a deep KeyError) when the dropped file is the wrong model."""
+    import torch as _torch
+    from siggan_tpu.eval.fid import make_scorer
+    bad = {"features.0.weight": _torch.zeros(64, 3, 11, 11)}  # alexnet-ish
+    p = tmp_path / "wrong_model.pt"
+    _torch.save(bad, p)
+    with pytest.raises(ValueError, match="required keys missing"):
+        make_scorer(f"torchvision:{p}")
+
+
+def test_verify_file_sha256(tmp_path):
+    p = tmp_path / "w.pth"
+    p.write_bytes(b"not really weights")
+    import hashlib
+    prefix = hashlib.sha256(p.read_bytes()).hexdigest()[:8]
+    assert manifests.verify_file_sha256(p, prefix)
+    assert manifests.verify_file_sha256(p, prefix.upper())
+    assert not manifests.verify_file_sha256(p, "00000000")
