@@ -677,7 +677,8 @@ def _build_aug_table(cfg: TrainConfig, images: jax.Array, e0, aug_stream,
     return augs.reshape((n_aug * n_images,) + augs.shape[2:])
 
 
-def make_resident_multi_step(cfg: TrainConfig, n_images: int, scan_steps: int):
+def make_resident_multi_step(cfg: TrainConfig, n_images: int, scan_steps: int,
+                             batch_sharding=None):
     """K resident train steps per dispatch via lax.scan — a device-side
     training loop. On high-latency device links one dispatch per K steps is
     the difference between ~23k and ~28k images/sec at batch 64 (the host
@@ -694,6 +695,18 @@ def make_resident_multi_step(cfg: TrainConfig, n_images: int, scan_steps: int):
     Returned fn: ``(state, images) -> (state, metrics)`` with each metric
     stacked to shape (K,); step-exact equivalence with K sequential calls is
     tested in ``tests/test_train_step.py``.
+
+    ``batch_sharding`` (a ``NamedSharding`` over the caller's mesh, batch
+    dim on the data axis): REQUIRED for multi-device data parallelism.
+    The resident dataset is sharded over the data axis, but the scan-body
+    gather uses data-dependent indices, so GSPMD cannot infer a sharding
+    for the gathered batch — left unconstrained it REPLICATES the batch
+    and with it the entire D/G/optimizer computation on every device (one
+    all-reduce to materialize the gather, zero speedup from the mesh).
+    Constraining the gathered batch back onto the data axis keeps the
+    whole step data-parallel: GSPMD then inserts the gradient/BN/loss
+    all-reduces inside the scanned body (asserted in
+    ``tests/test_multichip_hlo.py``).
     """
     steps_per_epoch = n_images // cfg.batch_size
     if steps_per_epoch < 1:
@@ -767,8 +780,14 @@ def make_resident_multi_step(cfg: TrainConfig, n_images: int, scan_steps: int):
                     None if flips is None else flips[ea], idx)
             else:
                 batch = gather(images, idx)
+            if batch_sharding is not None:
+                batch = jax.lax.with_sharding_constraint(
+                    batch, batch_sharding)
             if conditional:
-                s, m = base_step(s, batch, gather(labels, idx))
+                y = gather(labels, idx)
+                if batch_sharding is not None:
+                    y = jax.lax.with_sharding_constraint(y, batch_sharding)
+                s, m = base_step(s, batch, y)
             else:
                 s, m = base_step(s, batch)
             # Pack the ~8 scalar metrics into ONE vector so the scan carries

@@ -133,7 +133,12 @@ class GANTrainer:
                     k = spe
                 self.scan_steps = k
             step_fn, self.steps_per_epoch = make_resident_multi_step(
-                cfg, n_global, self.scan_steps)
+                cfg, n_global, self.scan_steps,
+                # Keep the scanned step data-parallel on a mesh: without
+                # this the data-dependent gather makes GSPMD replicate the
+                # batch (and all compute) on every device — see
+                # make_resident_multi_step's docstring.
+                batch_sharding=batch_sharding)
             self.loader = None
         else:
             self.loader = BatchLoader(

@@ -87,6 +87,65 @@ def test_sharded_step_hlo_has_data_axis_collectives(devices):
                          hlo)
 
 
+@pytest.mark.slow  # resident scan-path compile (~60 s CPU)
+def test_resident_scan_hlo_has_collectives_inside_scan_body(devices):
+    """The SHIPPED hot path (make_resident_multi_step: resident gather +
+    bulk augment + lax.scan window — what bench.py and the production
+    trainer dispatch) must carry its gradient/BN/loss reductions INSIDE the
+    scanned body: the scan lowers to an HLO while loop, and the data-axis
+    all-reduces must live in the while body computation, not be hoisted
+    (VERDICT r4 #5)."""
+    from siggan_tpu.train.train_step import make_resident_multi_step
+
+    cfg = TrainConfig(
+        model=ModelConfig(latent_dim=16, image_size=64, base_features=32),
+        batch_size=16, compute_dtype="float32",
+        mesh=MeshConfig(num_data=8),
+        augment=True, augment_bulk=True,
+    )
+    mesh = make_mesh(cfg.mesh)
+    state = replicate(mesh, create_train_state(cfg))
+    n_images, k = 64, 4
+    images = jax.device_put(
+        jnp.asarray(np.random.RandomState(0)
+                    .rand(n_images, 64, 64, 1).astype(np.float32) * 2 - 1),
+        NamedSharding(mesh, P(cfg.mesh.data_axis)))
+    data_sharding = NamedSharding(mesh, P(cfg.mesh.data_axis))
+    step_fn, _ = make_resident_multi_step(cfg, n_images, scan_steps=k,
+                                          batch_sharding=data_sharding)
+    compiled = jax.jit(
+        step_fn,
+        in_shardings=(NamedSharding(mesh, P()), data_sharding),
+    ).lower(state, images).compile()
+    hlo = compiled.as_text()
+
+    # The scan lowered to a while loop.
+    whiles = re.findall(r"while\([^\n]*?body=%?([\w.\-]+)", hlo)
+    assert whiles, "no while loop in the compiled resident-scan HLO"
+
+    # Collectives may be sync (all-reduce) or async (all-reduce-start) and
+    # may live in computations CALLED from the while body (fusions,
+    # closed_call), so locate them by their op_name metadata, which carries
+    # the full jaxpr path: anything under .../while/body/... executes
+    # inside the scanned body every iteration.
+    body_allreduces = [
+        line for line in re.findall(r"all-reduce(?:-start)?\([^\n]*", hlo)
+        if re.search(r'op_name="[^"]*while/body', line)]
+    assert len(body_allreduces) >= 3, (
+        f"expected >=3 all-reduces inside the scan body, got "
+        f"{len(body_allreduces)}:\n" + "\n".join(body_allreduces))
+    for ar in body_allreduces:
+        assert ("replica_groups={{0,1,2,3,4,5,6,7}}" in ar
+                or "replica_groups=[1,8]<=[8]" in ar
+                or "replica_groups=[8]<=[8]" in ar
+                or "replica_groups={}" in ar), ar
+
+    # And one window executes with stacked (K,) metrics (sanity).
+    new_state, metrics = compiled(state, images)
+    assert metrics["d_loss"].shape == (k,)
+    assert int(jax.device_get(new_state.step)) == k
+
+
 @pytest.mark.slow  # second sharded-step compile (~40 s CPU)
 def test_sharded_step_output_state_stays_replicated(devices):
     """The updated TrainState must come back fully replicated (P()): any
