@@ -55,7 +55,11 @@ def main():
     # DiffAugment: decided by the measured 64px showcase A/B (diffaug arms
     # vs lin_decay in scripts/showcase_search_r3.py) — the runner executes
     # that search first; fall back to off if the results are absent.
-    diffaug = ""
+    # Recorded winner (docs/examples/report.json "search_winner"
+    # diffaug_tc_z200; also the shipped 128px tuned recipe per
+    # docs/baseline/drive_128.json): used when the /tmp search results no
+    # longer exist on this host.
+    diffaug = "translation,cutout"
     res_path = Path("/tmp/showcase_r3/results.json")
     if res_path.exists():
         sys.path.insert(0, str(Path(__file__).parent))
@@ -66,9 +70,10 @@ def main():
         base = res.get("lin_decay")
         da = {k: v for k, v in res.items()
               if k in VARIANTS and VARIANTS[k].get("diffaug")}
-        if base and da and min(da.values()) < base:
+        if base and da:
             # adopt the measured winner's ACTUAL policy, whichever arm won
-            diffaug = VARIANTS[min(da, key=da.get)]["diffaug"]
+            diffaug = (VARIANTS[min(da, key=da.get)]["diffaug"]
+                       if min(da.values()) < base else "")
     print(f"diffaugment: {diffaug!r} (from 64px showcase A/B)", flush=True)
 
     cfg = TrainConfig(
@@ -120,11 +125,29 @@ def main():
     real_lpips_ceiling = float(lpips_mod.diversity(lp, real[:100]))
     print(f"real 128px LPIPS self-diversity ceiling: {real_lpips_ceiling:.4f}",
           flush=True)
-    for seed in (11, 22):
+    for seed in (11, 22, 33):
         fake = session.sample(1024, seed=seed, batch_size=128)
         fids.append(scorer.fid(real, fake))
         lps.append(float(lpips_mod.diversity(lp, fake[:100])))
         print(f"seed {seed}: FID {fids[-1]:.1f}", flush=True)
+    # Bias-reduced P8192 protocol (round-4 eval-protocol analysis,
+    # docs/examples/eval_protocol.json: the small-sample floor dominates
+    # the x-floor ratio; 8x samples cut the floor's finite-sample bias).
+    p8192 = None
+    if "--skip-p8192" not in sys.argv:
+        real8 = generate_dataset(8192, 128, seed=7)
+        half8 = rs.permutation(len(real8))
+        floor8 = scorer.fid(real8[half8[:4096]], real8[half8[4096:]])
+        fids8 = []
+        for seed in (11, 22, 33):
+            fake8 = session.sample(8192, seed=seed, batch_size=128)
+            fids8.append(float(scorer.fid(real8, fake8)))
+            print(f"P8192 seed {seed}: FID {fids8[-1]:.1f} "
+                  f"(floor {floor8:.1f})", flush=True)
+        p8192 = {"n_per_side": 8192, "floor": floor8,
+                 "fid_per_seed": fids8,
+                 "fid_mean": float(np.mean(fids8)),
+                 "worst_x_floor": float(max(fids8) / floor8)}
     out = {
         "recipe": f"reference v1.1 (128px, spectral norm), {cfg.epochs} "
                   f"epochs, {N_IMAGES} images, TTUR d_lr 1e-4, linear LR "
@@ -139,6 +162,7 @@ def main():
                  "fid_per_seed": fids,
                  "lpips_diversity": float(np.mean(lps)),
                  "real_lpips_self_diversity_ceiling": real_lpips_ceiling},
+        "protocol_p8192": p8192,
     }
     dst = Path("docs/baseline/drive_128.json")
     dst.parent.mkdir(parents=True, exist_ok=True)
