@@ -154,8 +154,20 @@ def evaluate():
         }
     # Re-derive the winner here (not the N_IMAGES global, which only
     # train() updates) so --eval-only reports the dataset size the winning
-    # recipe actually trained on.
-    winner, spec = _winning_spec()
+    # recipe actually trained on.  --wave-arm=<arm> instead reports a
+    # round-4/5 wave arm's recipe (scripts/showcase_wave_r4.py ARMS) when
+    # the evaluated --run-dir is a wave checkpoint.
+    wave_arm = next((a.split("=", 1)[1] for a in sys.argv
+                     if a.startswith("--wave-arm=")), None)
+    if wave_arm:
+        from showcase_wave_r4 import ARMS
+        spec = dict(ARMS[wave_arm])
+        spec.setdefault("n", 8192)
+        spec.setdefault("epochs", 600)
+        spec["latent"] = spec.get("latent", 200)  # wave arms fix z=200
+        winner = f"wave:{wave_arm}"
+    else:
+        winner, spec = _winning_spec()
     report = {
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
         "recipe": {"epochs": spec.get("epochs", EPOCHS),
