@@ -157,7 +157,10 @@ def evaluate(run_dir=None, recipe_note=""):
 
 if __name__ == "__main__":
     if "--run" in sys.argv:
-        evaluate(run_dir=sys.argv[sys.argv.index("--run") + 1])
+        note = next((a.split("=", 1)[1] for a in sys.argv
+                     if a.startswith("--note=")), "")
+        evaluate(run_dir=sys.argv[sys.argv.index("--run") + 1],
+                 recipe_note=note)
     else:
         if "--eval-only" not in sys.argv:
             train()
