@@ -24,10 +24,16 @@ class BatchLoader:
     """Seeded, epoch-aware batch iterator over a resident (N, ...) array."""
 
     def __init__(self, images: np.ndarray, batch_size: int, *,
+                 labels: Optional[np.ndarray] = None,
                  shuffle: bool = True, drop_last: bool = True, seed: int = 0,
                  mesh: Optional[Mesh] = None, data_axis: str = "data",
                  prefetch: int = 2):
         self.images = images
+        if labels is not None and len(labels) != len(images):
+            raise ValueError(
+                f"labels ({len(labels)}) and images ({len(images)}) lengths "
+                "differ")
+        self.labels = labels
         self.batch_size = batch_size
         self.shuffle = shuffle
         if not drop_last and mesh is not None:
@@ -71,7 +77,13 @@ class BatchLoader:
         return n
 
     def epoch(self, epoch_idx: int) -> Iterator[jax.Array]:
-        """Deterministic per-epoch order: permutation seeded by (seed, epoch)."""
+        """Deterministic per-epoch order: permutation seeded by (seed, epoch).
+
+        With ``labels`` the iterator yields aligned ``(images, labels)``
+        pairs (both sharded on the data axis) — the streaming counterpart of
+        the resident path's label plumbing, matching the reference loader's
+        label support (``data_loader_signatures.py:249``).
+        """
         n = len(self.images)
         if self.shuffle:
             order = np.random.RandomState((self.seed, epoch_idx)).permutation(n)
@@ -82,14 +94,22 @@ class BatchLoader:
         def host_batches():
             for b in range(steps):
                 sel = order[b * self.local_bs:(b + 1) * self.local_bs]
-                yield self.images[sel]
+                if self.labels is not None:
+                    yield self.images[sel], self.labels[sel]
+                else:
+                    yield self.images[sel]
 
-        def put(x: np.ndarray) -> jax.Array:
+        def put_one(x: np.ndarray) -> jax.Array:
             if self.n_proc > 1:
                 return jax.make_array_from_process_local_data(self.sharding, x)
             if self.sharding is not None:
                 return jax.device_put(x, self.sharding)
             return jax.device_put(x)
+
+        def put(x):
+            if isinstance(x, tuple):
+                return tuple(put_one(v) for v in x)
+            return put_one(x)
 
         # Keep `prefetch` device copies in flight ahead of the consumer.
         queue: collections.deque = collections.deque()

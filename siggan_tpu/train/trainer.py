@@ -54,11 +54,8 @@ class GANTrainer:
                 cfg.optim, lr_total_steps=cfg.epochs * spe))
         self.cfg = cfg
         self.conditional = cfg.model.num_classes > 0
-        if self.conditional:
-            if labels is None:
-                raise ValueError("conditional training requires labels")
-            if not cfg.resident_data:
-                raise ValueError("conditional training uses the resident path")
+        if self.conditional and labels is None:
+            raise ValueError("conditional training requires labels")
         self.labels = labels
         self.stop_file = Path(stop_file) if stop_file else None
         self.mesh = make_mesh(cfg.mesh) if use_mesh else None
@@ -71,14 +68,6 @@ class GANTrainer:
 
         data_mb = images.nbytes / 2 ** 20
         self.resident = cfg.resident_data and data_mb <= cfg.resident_max_mb
-        if self.conditional and not self.resident:
-            # The streaming loader has no label plumbing; falling through
-            # would silently train label-less (or crash on unpack).
-            raise ValueError(
-                f"conditional training requires the resident data path, but "
-                f"the dataset ({data_mb:.0f} MB) exceeds resident_max_mb "
-                f"({cfg.resident_max_mb}) — raise resident_max_mb or shrink "
-                f"the dataset")
         batch_sharding = (NamedSharding(self.mesh, P(cfg.mesh.data_axis))
                           if self.mesh is not None else None)
         if self.resident:
@@ -141,8 +130,11 @@ class GANTrainer:
                 batch_sharding=batch_sharding)
             self.loader = None
         else:
+            # Streaming path — labels (if conditional) ride the loader as
+            # aligned (images, labels) pairs, sharded like the images.
             self.loader = BatchLoader(
                 images, cfg.batch_size, seed=cfg.seed, mesh=self.mesh,
+                labels=labels if self.conditional else None,
                 data_axis=cfg.mesh.data_axis, prefetch=cfg.prefetch)
             self.steps_per_epoch = len(self.loader)
             step_fn = make_train_step(cfg)
@@ -298,7 +290,10 @@ class GANTrainer:
                             break
                 else:
                     for batch in self.loader.epoch(epoch):
-                        self.state, metrics = self._step_fn(self.state, batch)
+                        self.state, metrics = (
+                            self._step_fn(self.state, *batch)
+                            if self.conditional else
+                            self._step_fn(self.state, batch))
                         device_metrics.append(
                             jax.tree_util.tree_map(lambda x: x[None], metrics))
                         n_steps += 1

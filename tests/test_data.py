@@ -58,6 +58,25 @@ def test_loader_determinism_and_drop_last(image_dir):
     assert not np.array_equal(a[0], c[0])  # different epoch, different order
 
 
+def test_loader_yields_aligned_labels():
+    """Streaming label plumbing: (images, labels) pairs stay aligned under
+    the per-epoch shuffle (each image's pixel value encodes its index)."""
+    n = 12
+    imgs = np.repeat(np.arange(n, dtype=np.float32)[:, None, None, None],
+                     4, axis=1).repeat(4, axis=2)
+    labels = np.arange(n, dtype=np.int32)
+    loader = BatchLoader(imgs, batch_size=4, labels=labels, seed=5)
+    seen = []
+    for xb, yb in loader.epoch(0):
+        xb, yb = np.asarray(xb), np.asarray(yb)
+        np.testing.assert_array_equal(xb[:, 0, 0, 0].astype(np.int32), yb)
+        seen.extend(yb.tolist())
+    assert len(set(seen)) == n  # full permutation, no repeats
+
+    with pytest.raises(ValueError, match="lengths"):
+        BatchLoader(imgs, batch_size=4, labels=labels[:-1])
+
+
 def test_augment_shapes_and_white_fill():
     import jax.numpy as jnp
     batch = jnp.full((4, 64, 64, 1), -0.5)
