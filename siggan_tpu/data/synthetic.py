@@ -17,6 +17,7 @@ validity band (``is_valid_signature``, :316).
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 import numpy as np
@@ -106,9 +107,36 @@ def make_signature(rs: np.random.RandomState, size: int = 64) -> np.ndarray:
 
 
 def generate_dataset(n: int, size: int = 64, seed: int = 0) -> np.ndarray:
-    """(n, size, size, 1) float32 in [-1, 1], deterministic in ``seed``."""
+    """(n, size, size, 1) float32 in [-1, 1], deterministic in ``seed``.
+
+    Generation draws sequentially from one RandomState, so the first k
+    images of a run are identical for every n >= k (prefix property).
+    With ``SIGGAN_SYNTH_CACHE=<dir>`` set, generated arrays are memoized on
+    disk per (size, seed) and prefixes of a larger cached array are served
+    directly — experiment drivers regenerate the same 8–16k-image sets many
+    times per wave, which costs minutes per run on a contended host."""
+    cache_dir = os.environ.get("SIGGAN_SYNTH_CACHE")
+    if cache_dir:
+        path = Path(cache_dir) / f"synth_{size}px_seed{seed}.npy"
+        if path.exists():
+            try:
+                arr = np.load(path, mmap_mode="r")
+                if len(arr) >= n:
+                    return np.array(arr[:n])
+            except Exception:
+                pass  # corrupt/partial cache file: regenerate below
     rs = np.random.RandomState(seed)
-    return np.stack([make_signature(rs, size) for _ in range(n)])
+    out = np.stack([make_signature(rs, size) for _ in range(n)])
+    if cache_dir:
+        path = Path(cache_dir) / f"synth_{size}px_seed{seed}.npy"
+        try:
+            path.parent.mkdir(parents=True, exist_ok=True)
+            tmp = path.with_suffix(f".tmp{os.getpid()}.npy")
+            np.save(tmp, out)
+            tmp.rename(path)  # atomic: concurrent readers never see partial
+        except Exception:
+            pass
+    return out
 
 
 def make_writer_signature(rs: np.random.RandomState, style: dict,

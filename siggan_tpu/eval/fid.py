@@ -53,8 +53,20 @@ class FIDScorer:
         fr, ff = self._conditioned_features(real, fake)
         return frechet_distance(fr, ff)
 
+    def fid_from_features(self, fr: np.ndarray, fake: np.ndarray) -> float:
+        """FID against a PRE-EXTRACTED real feature matrix (``features()``
+        output, un-conditioned). Identical math/value to ``fid`` — the
+        real-set extraction is deterministic for a fixed set, so callers
+        scoring many fake batches against one fixed real set (the trainer's
+        per-epoch selection FID) can hoist it out of the loop."""
+        ff = self.features(fake)
+        fr, ff = self._condition(np.asarray(fr), ff)
+        return frechet_distance(fr, ff)
+
     def _conditioned_features(self, real: np.ndarray, fake: np.ndarray):
-        fr, ff = self.features(real), self.features(fake)
+        return self._condition(self.features(real), self.features(fake))
+
+    def _condition(self, fr: np.ndarray, ff: np.ndarray):
         if self.backbone == "random-init":
             # Standardize both sets by the REAL set's per-dim stats: a fixed
             # affine transform (still a valid Frechet metric, 0 for identical

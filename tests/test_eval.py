@@ -100,6 +100,46 @@ def test_metrics_tracker():
     assert t.get_last("loss") == 2.0
 
 
+def test_fid_from_features_matches_fid():
+    """The trainer's hoisted-real-features path is the SAME metric: value
+    identical to scorer.fid on both the standardized random-init-style
+    backbone and a custom one."""
+    rs = np.random.RandomState(0)
+    real = (rs.rand(24, 64, 64, 1) * 2 - 1).astype(np.float32)
+    fake = (rs.rand(24, 64, 64, 1) * 2 - 1).astype(np.float32)
+
+    def extract(x):
+        return jnp.reshape(x, (x.shape[0], -1))[:, ::97]
+
+    for backbone in ("random-init", "custom"):
+        scorer = FIDScorer(extract_fn=extract, backbone=backbone,
+                           batch_size=8)
+        direct = scorer.fid(real, fake)
+        hoisted = scorer.fid_from_features(scorer.features(real), fake)
+        assert direct == pytest.approx(hoisted, rel=1e-12), backbone
+        assert direct > 0
+
+
+def test_generate_dataset_disk_cache(tmp_path, monkeypatch):
+    """SIGGAN_SYNTH_CACHE memoizes per (size, seed) and serves prefixes of
+    a larger cached array byte-identically (the generator's sequential-draw
+    prefix property)."""
+    from siggan_tpu.data.synthetic import generate_dataset
+
+    ref_big = generate_dataset(12, 32, seed=9)      # uncached ground truth
+    ref_small = generate_dataset(5, 32, seed=9)
+    np.testing.assert_array_equal(ref_big[:5], ref_small)  # prefix property
+
+    monkeypatch.setenv("SIGGAN_SYNTH_CACHE", str(tmp_path))
+    a = generate_dataset(12, 32, seed=9)
+    np.testing.assert_array_equal(a, ref_big)
+    assert (tmp_path / "synth_32px_seed9.npy").exists()
+    b = generate_dataset(7, 32, seed=9)             # prefix from cache
+    np.testing.assert_array_equal(b, ref_big[:7])
+    c = generate_dataset(12, 32, seed=10)           # different seed: distinct
+    assert not np.array_equal(c, a)
+
+
 @pytest.mark.slow
 def test_compute_metrics_graceful_failure(monkeypatch):
     """A broken metric must be captured, not fatal (evaluate…py:264-325)."""
