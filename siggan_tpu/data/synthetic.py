@@ -195,7 +195,23 @@ def writer_style(rs: np.random.RandomState) -> dict:
 def generate_labeled_dataset(n_writers: int, per_writer: int, size: int = 64,
                              seed: int = 0):
     """((n_writers*per_writer, size, size, 1) images, (N,) int32 labels):
-    writer-consistent styles for conditional (v2.0) training."""
+    writer-consistent styles for conditional (v2.0) training.
+
+    With ``SIGGAN_SYNTH_CACHE`` set, memoized on disk per exact
+    (n_writers, per_writer, size, seed) — no prefix serving here: style
+    draws interleave with image draws, so different shapes differ from
+    image 0."""
+    cache_dir = os.environ.get("SIGGAN_SYNTH_CACHE")
+    path = None
+    if cache_dir:
+        path = (Path(cache_dir) /
+                f"labeled_{n_writers}w{per_writer}_{size}px_seed{seed}.npz")
+        if path.exists():
+            try:
+                z = np.load(path)
+                return z["images"], z["labels"]
+            except Exception:
+                pass
     rs = np.random.RandomState(seed)
     imgs, labels = [], []
     for w in range(n_writers):
@@ -203,7 +219,15 @@ def generate_labeled_dataset(n_writers: int, per_writer: int, size: int = 64,
         for _ in range(per_writer):
             imgs.append(make_writer_signature(rs, style, size))
             labels.append(w)
-    return np.stack(imgs), np.asarray(labels, np.int32)
+    images, labels = np.stack(imgs), np.asarray(labels, np.int32)
+    if path is not None:
+        try:
+            tmp = path.with_name(f"{path.stem}.tmp{os.getpid()}.npz")
+            np.savez(tmp, images=images, labels=labels)
+            tmp.rename(path)
+        except Exception:
+            pass
+    return images, labels
 
 
 def save_dataset_pngs(n: int, output_dir: str | Path, size: int = 64,

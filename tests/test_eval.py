@@ -139,6 +139,13 @@ def test_generate_dataset_disk_cache(tmp_path, monkeypatch):
     c = generate_dataset(12, 32, seed=10)           # different seed: distinct
     assert not np.array_equal(c, a)
 
+    from siggan_tpu.data.synthetic import generate_labeled_dataset
+    ri, rl = generate_labeled_dataset(2, 3, 32, seed=4)   # writes cache
+    ci, cl = generate_labeled_dataset(2, 3, 32, seed=4)   # reads cache
+    np.testing.assert_array_equal(ri, ci)
+    np.testing.assert_array_equal(rl, cl)
+    assert (tmp_path / "labeled_2w3_32px_seed4.npz").exists()
+
 
 @pytest.mark.slow
 def test_compute_metrics_graceful_failure(monkeypatch):
