@@ -173,7 +173,8 @@ def evaluate():
         "recipe": {"epochs": spec.get("epochs", EPOCHS),
                    "n_images": spec.get("n", N_IMAGES),
                    "search_winner": winner,
-                   "checkpoint": "best (lowest FID, fid_interval=10)"},
+                   "checkpoint": ("best (lowest trainer-FID, fid_interval="
+                                  f"{5 if wave_arm else 10})")},
         "fid_real_vs_real_floor": floor,
         "fid_real_vs_noise_control": ceiling,
         "fid_mean": float(np.mean(fids)), "fid_std": float(np.std(fids)),
